@@ -96,14 +96,14 @@ def fingerprints(smiles: Sequence[str], kind: str = "morgan", n_bits: int = 2048
     if not smiles:
         dim = 167 if kind == "maccs" else n_bits
         return FeaturizeResult(np.zeros((0, dim), dtype=np.float32))
-    if use_native:
+    if use_native and kind in ("morgan", "rdkit"):
         try:
             from bbbp_tpu.native import bindings as nb
 
             if nb.available():
                 feats, bad = nb.fingerprints(smiles, kind, n_bits, radius)
                 return FeaturizeResult(feats, np.asarray(bad, dtype=np.int64))
-        except ImportError:
+        except (ImportError, RuntimeError):
             pass
     chunk = max(64, (len(smiles) + 127) // 128)
     jobs = []

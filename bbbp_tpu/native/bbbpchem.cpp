@@ -1,0 +1,671 @@
+// bbbpchem.cpp — native featurization fast path for bbbp_tpu.
+//
+// C++ re-implementation of bbbp_tpu/chem (SMILES parser, ring/aromaticity
+// perception, implicit-H assignment, Morgan/ECFP + path fingerprints) with a
+// pthread-parallel batch API. Bit-exact with the Python reference
+// implementation: same splitmix-style hash chain, same invariants, same
+// dedup rules (verified by tests/test_native.py). This is the host-side
+// engine that feeds the TPU screening pipeline (SURVEY.md §7 hard part #1:
+// featurization throughput bounds end-to-end screening).
+//
+// Build: python -m bbbp_tpu.native.build  (g++ -O3 -march=native -shared -fPIC)
+//
+// Exposed C ABI:
+//   int bbbp_fingerprints(const char** smiles, int n, int kind, int n_bits,
+//                         int radius, float* out, int32_t* bad, int threads);
+//     kind: 0 = morgan, 1 = maccs (not yet; returns 2), 2 = path
+//     out: row-major [n, dim], dim = n_bits
+//     bad[i] = 1 if SMILES i failed to parse (row left zero)
+
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <cmath>
+#include <algorithm>
+#include <map>
+#include <set>
+#include <string>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// hashing (must match bbbp_tpu/chem/fingerprints.py::_mix)
+// ---------------------------------------------------------------------------
+static inline uint64_t mix(uint64_t h, uint64_t v) {
+  h = (h ^ v) * 0x100000001B3ULL;
+  h ^= h >> 29;
+  h = h * 0xBF58476D1CE4E5B9ULL;
+  h ^= h >> 32;
+  return h;
+}
+
+// ---------------------------------------------------------------------------
+// molecular graph
+// ---------------------------------------------------------------------------
+constexpr int BOND_SINGLE = 1, BOND_DOUBLE = 2, BOND_TRIPLE = 3,
+              BOND_QUAD = 4, BOND_AROMATIC = 12;
+
+struct Atom {
+  int z = 0;
+  bool aromatic = false;
+  int charge = 0;
+  int isotope = 0;
+  int n_h = -1;          // -1 = infer
+  bool explicit_h = false;
+  int chirality = 0;
+  bool in_ring = false;
+};
+
+struct Bond {
+  int a1, a2;
+  int order = BOND_SINGLE;
+  int stereo = 0;
+  bool in_ring = false;
+  int other(int i) const { return i == a1 ? a2 : a1; }
+  double order_value() const {
+    switch (order) {
+      case BOND_SINGLE: return 1.0;
+      case BOND_DOUBLE: return 2.0;
+      case BOND_TRIPLE: return 3.0;
+      case BOND_QUAD: return 4.0;
+      default: return 1.5;  // aromatic
+    }
+  }
+};
+
+struct Mol {
+  std::vector<Atom> atoms;
+  std::vector<Bond> bonds;
+  std::vector<std::vector<int>> nbr;   // atom -> bond indices
+  std::vector<std::vector<int>> rings;
+
+  int add_atom(const Atom& a) {
+    atoms.push_back(a);
+    nbr.emplace_back();
+    return (int)atoms.size() - 1;
+  }
+  bool add_bond(int a1, int a2, int order, int stereo) {
+    if (a1 == a2) return false;
+    for (int bi : nbr[a1])
+      if (bonds[bi].other(a1) == a2) return false;  // duplicate
+    Bond b;
+    b.a1 = a1; b.a2 = a2; b.order = order; b.stereo = stereo;
+    bonds.push_back(b);
+    int idx = (int)bonds.size() - 1;
+    nbr[a1].push_back(idx);
+    nbr[a2].push_back(idx);
+    return true;
+  }
+  Bond* get_bond(int a1, int a2) {
+    for (int bi : nbr[a1])
+      if (bonds[bi].other(a1) == a2) return &bonds[bi];
+    return nullptr;
+  }
+  int total_h(int i) const {
+    int nh = std::max(atoms[i].n_h, 0);
+    for (int bi : nbr[i])
+      if (atoms[bonds[bi].other(i)].z == 1) nh++;
+    return nh;
+  }
+};
+
+// element symbol table (subset mirroring mol.py SYMBOL_TO_Z)
+static int symbol_z(const std::string& s) {
+  static const std::map<std::string, int> tbl = {
+      {"H",1},{"He",2},{"Li",3},{"Be",4},{"B",5},{"C",6},{"N",7},{"O",8},
+      {"F",9},{"Ne",10},{"Na",11},{"Mg",12},{"Al",13},{"Si",14},{"P",15},
+      {"S",16},{"Cl",17},{"Ar",18},{"K",19},{"Ca",20},{"Sc",21},{"Ti",22},
+      {"V",23},{"Cr",24},{"Mn",25},{"Fe",26},{"Co",27},{"Ni",28},{"Cu",29},
+      {"Zn",30},{"Ga",31},{"Ge",32},{"As",33},{"Se",34},{"Br",35},{"Kr",36},
+      {"Rb",37},{"Sr",38},{"Y",39},{"Zr",40},{"Nb",41},{"Mo",42},{"Tc",43},
+      {"Ru",44},{"Rh",45},{"Pd",46},{"Ag",47},{"Cd",48},{"In",49},{"Sn",50},
+      {"Sb",51},{"Te",52},{"I",53},{"Xe",54},{"Cs",55},{"Ba",56},{"La",57},
+      {"Gd",64},{"Pt",78},{"Au",79},{"Hg",80},{"Tl",81},{"Pb",82},{"Bi",83},
+      {"Ra",88},{"*",0}};
+  auto it = tbl.find(s);
+  return it == tbl.end() ? -1 : it->second;
+}
+
+// ---------------------------------------------------------------------------
+// ring perception (mirrors mol.py::_perceive_rings)
+// ---------------------------------------------------------------------------
+static bool shortest_path_excl(const Mol& m, int src, int dst, int skip_bond,
+                               std::vector<int>* out) {
+  int n = (int)m.atoms.size();
+  std::vector<int> prev(n, -2);
+  std::vector<int> queue;
+  queue.reserve(n);
+  queue.push_back(src);
+  prev[src] = -1;
+  size_t qi = 0;
+  while (qi < queue.size()) {
+    int u = queue[qi++];
+    if (u == dst) {
+      out->clear();
+      while (u != -1) { out->push_back(u); u = prev[u]; }
+      return true;
+    }
+    for (int bi : m.nbr[u]) {
+      if (bi == skip_bond) continue;
+      int v = m.bonds[bi].other(u);
+      if (prev[v] == -2) { prev[v] = u; queue.push_back(v); }
+    }
+  }
+  return false;
+}
+
+static void perceive_rings(Mol& m) {
+  int n = (int)m.atoms.size();
+  std::vector<char> visited(n, 0);
+  std::vector<char> tree_bond(m.bonds.size(), 0);
+  for (int root = 0; root < n; root++) {
+    if (visited[root]) continue;
+    visited[root] = 1;
+    std::vector<int> stack{root};
+    while (!stack.empty()) {
+      int u = stack.back(); stack.pop_back();
+      for (int bi : m.nbr[u]) {
+        int v = m.bonds[bi].other(u);
+        if (!visited[v]) { visited[v] = 1; tree_bond[bi] = 1; stack.push_back(v); }
+      }
+    }
+  }
+  std::set<std::vector<int>> seen;
+  for (size_t bi = 0; bi < m.bonds.size(); bi++) {
+    if (tree_bond[bi]) continue;
+    std::vector<int> path;
+    if (!shortest_path_excl(m, m.bonds[bi].a1, m.bonds[bi].a2, (int)bi, &path))
+      continue;
+    std::vector<int> key = path;
+    std::sort(key.begin(), key.end());
+    if (seen.insert(key).second) m.rings.push_back(path);
+  }
+  std::set<std::pair<int,int>> ring_bonds;
+  for (auto& ring : m.rings) {
+    for (size_t i = 0; i < ring.size(); i++) {
+      int a1 = ring[i], a2 = ring[(i + 1) % ring.size()];
+      m.atoms[a1].in_ring = true;
+      ring_bonds.insert({std::min(a1,a2), std::max(a1,a2)});
+    }
+  }
+  for (auto& b : m.bonds)
+    b.in_ring = ring_bonds.count({std::min(b.a1,b.a2), std::max(b.a1,b.a2)}) > 0;
+}
+
+// ---------------------------------------------------------------------------
+// aromaticity perception (mirrors mol.py::_perceive_aromaticity)
+// ---------------------------------------------------------------------------
+static bool pi_contribution(const Mol& m, int ai, const std::set<int>& ring_set,
+                            int* out) {
+  const Atom& a = m.atoms[ai];
+  bool in_ring_double = false, exo_double = false, has_triple = false;
+  for (int bi : m.nbr[ai]) {
+    const Bond& b = m.bonds[bi];
+    int other = b.other(ai);
+    if (b.order == BOND_DOUBLE || b.order == BOND_AROMATIC) {
+      if (ring_set.count(other)) in_ring_double = true;
+      else exo_double = true;
+    } else if (b.order == BOND_TRIPLE) {
+      has_triple = true;
+    }
+  }
+  if (has_triple) return false;
+  if (in_ring_double) { *out = 1; return true; }
+  if (exo_double) { *out = 0; return true; }
+  int z = a.z;
+  if (z == 6) {
+    if (a.charge == -1) { *out = 2; return true; }
+    if (a.charge == 1) { *out = 0; return true; }
+    return false;
+  }
+  if (z == 7 || z == 15) { *out = 2; return true; }
+  if (z == 8 || z == 16 || z == 34) { *out = 2; return true; }
+  return false;
+}
+
+static void perceive_aromaticity(Mol& m) {
+  bool changed = true;
+  int passes = 0;
+  while (changed && passes < 4) {
+    changed = false;
+    passes++;
+    for (auto& ring : m.rings) {
+      if (ring.size() < 3 || ring.size() > 7) continue;
+      bool all_arom = true;
+      for (int i : ring) if (!m.atoms[i].aromatic) { all_arom = false; break; }
+      if (all_arom) continue;
+      std::set<int> rs(ring.begin(), ring.end());
+      int total = 0; bool ok = true;
+      for (int i : ring) {
+        int c;
+        if (!pi_contribution(m, i, rs, &c)) { ok = false; break; }
+        total += c;
+      }
+      if (!ok) continue;
+      if (total % 4 == 2) {
+        for (int i : ring)
+          if (!m.atoms[i].aromatic) { m.atoms[i].aromatic = true; changed = true; }
+      }
+    }
+  }
+  for (auto& ring : m.rings) {
+    bool all_arom = true;
+    for (int i : ring) if (!m.atoms[i].aromatic) { all_arom = false; break; }
+    if (!all_arom) continue;
+    for (size_t i = 0; i < ring.size(); i++) {
+      Bond* b = m.get_bond(ring[i], ring[(i + 1) % ring.size()]);
+      if (b) b->order = BOND_AROMATIC;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// implicit H (mirrors mol.py::_assign_implicit_h)
+// ---------------------------------------------------------------------------
+static void assign_implicit_h(Mol& m) {
+  for (size_t i = 0; i < m.atoms.size(); i++) {
+    Atom& a = m.atoms[i];
+    if (a.explicit_h || a.n_h >= 0) continue;
+    static const std::map<int, std::vector<int>> valences = {
+        {5,{3}},{6,{4}},{7,{3,5}},{8,{2}},{15,{3,5}},{16,{2,4,6}},
+        {9,{1}},{17,{1}},{35,{1}},{53,{1}}};
+    auto it = valences.find(a.z);
+    if (it == valences.end()) { a.n_h = 0; continue; }
+    double order_sum = 0;
+    for (int bi : m.nbr[i]) order_sum += m.bonds[bi].order_value();
+    int used = (int)std::ceil(order_sum - 1e-9);
+    int adj = (a.z == 7 || a.z == 15) ? a.charge : -std::abs(a.charge);
+    int nh = 0;
+    for (int v : it->second) {
+      if (v + adj >= used) { nh = v + adj - used; break; }
+    }
+    a.n_h = std::max(0, nh);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// SMILES parser (mirrors smiles.py)
+// ---------------------------------------------------------------------------
+static bool is_aromatic_bracket(const std::string& s) {
+  static const std::set<std::string> arom = {"b","c","n","o","p","s","se","as","te","si"};
+  return arom.count(s) > 0;
+}
+
+static bool parse_bracket(const std::string& body, Atom* atom) {
+  if (body.empty()) return false;
+  size_t k = 0, mlen = body.size();
+  int isotope = 0;
+  while (k < mlen && isdigit((unsigned char)body[k]))
+    isotope = isotope * 10 + (body[k++] - '0');
+  bool aromatic = false;
+  std::string sym;
+  if (k + 1 < mlen) {
+    std::string two = body.substr(k, 2);
+    if (is_aromatic_bracket(two)) {
+      sym = two; sym[0] = toupper(sym[0]); aromatic = true; k += 2;
+    } else if (isupper((unsigned char)two[0]) && islower((unsigned char)two[1]) &&
+               symbol_z(two) >= 0) {
+      sym = two; k += 2;
+    }
+  }
+  if (sym.empty()) {
+    std::string one = body.substr(k, 1);
+    if (is_aromatic_bracket(one)) {
+      sym = one; sym[0] = toupper(sym[0]); aromatic = true; k += 1;
+    } else if (one == "*" || symbol_z(one) >= 0) {
+      sym = one; k += 1;
+    } else {
+      return false;
+    }
+  }
+  int z = symbol_z(sym);
+  if (z < 0) return false;
+  atom->z = z;
+  atom->aromatic = aromatic;
+  atom->isotope = isotope;
+  atom->n_h = 0;
+  atom->explicit_h = true;
+  while (k < mlen) {
+    char c = body[k];
+    if (c == '@') {
+      if (k + 1 < mlen && body[k+1] == '@') { atom->chirality = 2; k += 2; }
+      else {
+        atom->chirality = 1; k += 1;
+        static const char* tags[] = {"TH","AL","SP","TB","OH"};
+        for (auto t : tags) {
+          if (body.compare(k, 2, t) == 0) {
+            k += 2;
+            while (k < mlen && isdigit((unsigned char)body[k])) k++;
+            break;
+          }
+        }
+      }
+    } else if (c == 'H') {
+      k++;
+      int h = 1;
+      if (k < mlen && isdigit((unsigned char)body[k])) {
+        h = 0;
+        while (k < mlen && isdigit((unsigned char)body[k]))
+          h = h * 10 + (body[k++] - '0');
+      }
+      atom->n_h = h;
+    } else if (c == '+' || c == '-') {
+      int sign = (c == '+') ? 1 : -1;
+      k++;
+      int mag;
+      if (k < mlen && isdigit((unsigned char)body[k])) {
+        mag = 0;
+        while (k < mlen && isdigit((unsigned char)body[k]))
+          mag = mag * 10 + (body[k++] - '0');
+      } else {
+        mag = 1;
+        while (k < mlen && body[k] == c) { mag++; k++; }
+      }
+      atom->charge = sign * mag;
+    } else if (c == ':') {
+      k++;
+      while (k < mlen && isdigit((unsigned char)body[k])) k++;
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
+static bool parse_smiles(const std::string& s, Mol* mol) {
+  if (s.empty()) return false;
+  int prev_atom = -1;
+  int pending_bond = -1;  // -1 = default
+  int pending_stereo = 0;
+  std::vector<std::pair<int, std::pair<int,int>>> stack;  // (atom, (bond, stereo))
+  std::map<int, std::pair<int, std::pair<int,int>>> ring_open;
+  size_t i = 0, n = s.size();
+
+  auto make_bond = [&](int a1, int a2, int code, int stereo) -> bool {
+    if (code < 0) {
+      code = (mol->atoms[a1].aromatic && mol->atoms[a2].aromatic)
+                 ? BOND_AROMATIC : BOND_SINGLE;
+    }
+    return mol->add_bond(a1, a2, code, stereo);
+  };
+
+  while (i < n) {
+    char c = s[i];
+    if (c == '(') {
+      if (prev_atom < 0) return false;
+      stack.push_back({prev_atom, {pending_bond, pending_stereo}});
+      pending_bond = -1; pending_stereo = 0;
+      i++;
+    } else if (c == ')') {
+      if (stack.empty()) return false;
+      prev_atom = stack.back().first;
+      stack.pop_back();
+      pending_bond = -1; pending_stereo = 0;
+      i++;
+    } else if (c == '-') { pending_bond = BOND_SINGLE; i++; }
+    else if (c == '=') { pending_bond = BOND_DOUBLE; i++; }
+    else if (c == '#') { pending_bond = BOND_TRIPLE; i++; }
+    else if (c == '$') { pending_bond = BOND_QUAD; i++; }
+    else if (c == ':') { pending_bond = BOND_AROMATIC; i++; }
+    else if (c == '/') { pending_bond = BOND_SINGLE; pending_stereo = 1; i++; }
+    else if (c == '\\') { pending_bond = BOND_SINGLE; pending_stereo = 2; i++; }
+    else if (c == '.') { prev_atom = -1; pending_bond = -1; pending_stereo = 0; i++; }
+    else if (isdigit((unsigned char)c) || c == '%') {
+      if (prev_atom < 0) return false;
+      int num;
+      if (c == '%') {
+        if (i + 2 >= n || !isdigit((unsigned char)s[i+1]) ||
+            !isdigit((unsigned char)s[i+2])) return false;
+        num = (s[i+1]-'0') * 10 + (s[i+2]-'0');
+        i += 3;
+      } else {
+        num = c - '0';
+        i += 1;
+      }
+      auto it = ring_open.find(num);
+      if (it != ring_open.end()) {
+        int open_atom = it->second.first;
+        int open_code = it->second.second.first;
+        int open_stereo = it->second.second.second;
+        ring_open.erase(it);
+        int code = pending_bond >= 0 ? pending_bond : open_code;
+        int stereo = pending_stereo ? pending_stereo : open_stereo;
+        if (open_atom == prev_atom) return false;
+        if (!make_bond(open_atom, prev_atom, code, stereo)) return false;
+      } else {
+        ring_open[num] = {prev_atom, {pending_bond, pending_stereo}};
+      }
+      pending_bond = -1; pending_stereo = 0;
+    } else if (c == '[') {
+      size_t j = s.find(']', i);
+      if (j == std::string::npos) return false;
+      Atom atom;
+      if (!parse_bracket(s.substr(i + 1, j - i - 1), &atom)) return false;
+      int idx = mol->add_atom(atom);
+      if (prev_atom >= 0)
+        if (!make_bond(prev_atom, idx, pending_bond, pending_stereo)) return false;
+      prev_atom = idx;
+      pending_bond = -1; pending_stereo = 0;
+      i = j + 1;
+    } else {
+      // organic subset
+      Atom atom;
+      if (i + 1 < n && ((c=='C'&&s[i+1]=='l') || (c=='B'&&s[i+1]=='r'))) {
+        atom.z = symbol_z(s.substr(i, 2));
+        i += 2;
+      } else if (strchr("BCNOPSFI", c)) {
+        atom.z = symbol_z(std::string(1, c));
+        i += 1;
+      } else if (strchr("bcnops", c)) {
+        atom.z = symbol_z(std::string(1, (char)toupper(c)));
+        atom.aromatic = true;
+        i += 1;
+      } else if (c == '*') {
+        atom.z = 0;
+        i += 1;
+      } else {
+        return false;
+      }
+      int idx = mol->add_atom(atom);
+      if (prev_atom >= 0)
+        if (!make_bond(prev_atom, idx, pending_bond, pending_stereo)) return false;
+      prev_atom = idx;
+      pending_bond = -1; pending_stereo = 0;
+    }
+  }
+  if (!stack.empty() || !ring_open.empty() || mol->atoms.empty()) return false;
+  perceive_rings(*mol);
+  perceive_aromaticity(*mol);
+  assign_implicit_h(*mol);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Morgan fingerprint (mirrors fingerprints.py::morgan_bits)
+// ---------------------------------------------------------------------------
+static inline int bond_code(int order) {
+  switch (order) {
+    case BOND_SINGLE: return 1;
+    case BOND_DOUBLE: return 2;
+    case BOND_TRIPLE: return 3;
+    case BOND_AROMATIC: return 4;
+    default: return 5;
+  }
+}
+
+static uint64_t atom_invariant(const Mol& m, int i) {
+  const Atom& a = m.atoms[i];
+  int heavy_deg = 0;
+  for (int bi : m.nbr[i])
+    if (m.atoms[m.bonds[bi].other(i)].z > 1) heavy_deg++;
+  uint64_t h = 0xcbf29ce484222325ULL;
+  h = mix(h, (uint64_t)a.z);
+  h = mix(h, (uint64_t)heavy_deg);
+  h = mix(h, (uint64_t)m.total_h(i));
+  h = mix(h, (uint64_t)(a.charge & 0xFF));
+  h = mix(h, a.in_ring ? 1 : 0);
+  h = mix(h, a.aromatic ? 1 : 0);
+  h = mix(h, (uint64_t)a.isotope);
+  return h;
+}
+
+static void morgan_bits(const Mol& m, int radius, int n_bits,
+                        std::set<uint64_t>* bits) {
+  int n = (int)m.atoms.size();
+  std::vector<uint64_t> inv(n);
+  for (int i = 0; i < n; i++) inv[i] = atom_invariant(m, i);
+  std::vector<std::set<int>> env(n);
+  for (int i = 0; i < n; i++)
+    if (m.atoms[i].z > 1) bits->insert(inv[i] % n_bits);
+  // dedupe map: (radius, sorted bond set) -> min hash
+  std::map<std::pair<int, std::vector<int>>, uint64_t> best;
+  for (int r = 1; r <= radius; r++) {
+    std::vector<uint64_t> new_inv(inv);
+    std::vector<std::set<int>> new_env(env);
+    for (int i = 0; i < n; i++) {
+      if (m.atoms[i].z <= 1) continue;
+      std::vector<std::pair<std::pair<int,uint64_t>, int>> nbrs;  // ((code,inv),bond)
+      for (int bi : m.nbr[i]) {
+        const Bond& b = m.bonds[bi];
+        int j = b.other(i);
+        if (m.atoms[j].z <= 1) continue;
+        nbrs.push_back({{bond_code(b.order), inv[j]}, bi});
+      }
+      std::sort(nbrs.begin(), nbrs.end(),
+                [](auto& x, auto& y) { return x.first < y.first; });
+      uint64_t h = 0x9e3779b97f4a7c15ULL;
+      h = mix(h, (uint64_t)r);
+      h = mix(h, inv[i]);
+      for (auto& nb : nbrs) {
+        h = mix(h, (uint64_t)nb.first.first);
+        h = mix(h, nb.first.second);
+        new_env[i].insert(nb.second);
+        int j = m.bonds[nb.second].other(i);
+        new_env[i].insert(env[j].begin(), env[j].end());
+      }
+      new_inv[i] = h;
+    }
+    inv.swap(new_inv);
+    env.swap(new_env);
+    for (int i = 0; i < n; i++) {
+      if (m.atoms[i].z <= 1) continue;
+      std::vector<int> key(env[i].begin(), env[i].end());
+      auto k = std::make_pair(r, key);
+      auto it = best.find(k);
+      if (it == best.end() || inv[i] < it->second) best[k] = inv[i];
+    }
+  }
+  for (auto& kv : best) bits->insert(kv.second % n_bits);
+}
+
+// ---------------------------------------------------------------------------
+// path fingerprint (mirrors fingerprints.py::path_bits)
+// ---------------------------------------------------------------------------
+static inline int path_atom_code(const Mol& m, int i) {
+  const Atom& a = m.atoms[i];
+  return (a.z << 2) | (a.aromatic ? 2 : 0) | (a.in_ring ? 1 : 0);
+}
+
+static uint64_t hash_path_dir(const Mol& m, const std::vector<int>& atoms,
+                              const std::vector<int>& bonds, bool rev) {
+  uint64_t h = 0x27d4eb2f165667c5ULL;
+  int na = (int)atoms.size();
+  for (int k = 0; k < na; k++) {
+    int ai = rev ? atoms[na - 1 - k] : atoms[k];
+    h = mix(h, (uint64_t)path_atom_code(m, ai));
+    if (k < (int)bonds.size()) {
+      int bi = rev ? bonds[bonds.size() - 1 - k] : bonds[k];
+      h = mix(h, (uint64_t)bond_code(m.bonds[bi].order));
+    }
+  }
+  return h;
+}
+
+static void path_bits_dfs(const Mol& m, int min_path, int max_path, int n_bits,
+                          int bits_per_hash, std::set<uint64_t>* bits) {
+  std::set<std::vector<int>> seen;
+  std::vector<int> path_bonds, path_atoms;
+
+  std::function<void()> dfs = [&]() {
+    int L = (int)path_bonds.size();
+    if (L >= min_path) {
+      std::vector<int> key = path_bonds;
+      std::sort(key.begin(), key.end());
+      if (seen.insert(key).second) {
+        uint64_t fwd = hash_path_dir(m, path_atoms, path_bonds, false);
+        uint64_t rv = hash_path_dir(m, path_atoms, path_bonds, true);
+        uint64_t h = std::min(fwd, rv);
+        uint64_t rng = h;
+        for (int t = 0; t < bits_per_hash; t++) {
+          rng = mix(rng, 0x2545F4914F6CDD1DULL);
+          bits->insert(rng % n_bits);
+        }
+      }
+    }
+    if (L == max_path) return;
+    int last = path_atoms.back();
+    for (int bi : m.nbr[last]) {
+      if (std::find(path_bonds.begin(), path_bonds.end(), bi) != path_bonds.end())
+        continue;
+      int j = m.bonds[bi].other(last);
+      bool in_path = std::find(path_atoms.begin(), path_atoms.end(), j)
+                     != path_atoms.end();
+      if (in_path && !(j == path_atoms[0] && path_atoms.size() > 2)) continue;
+      path_bonds.push_back(bi);
+      path_atoms.push_back(j);
+      dfs();
+      path_bonds.pop_back();
+      path_atoms.pop_back();
+    }
+  };
+
+  for (int start = 0; start < (int)m.atoms.size(); start++) {
+    if (m.atoms[start].z <= 1) continue;
+    path_atoms.assign(1, start);
+    path_bonds.clear();
+    dfs();
+  }
+}
+
+}  // namespace
+
+extern "C" int bbbp_fingerprints(const char** smiles, int n, int kind,
+                                 int n_bits, int radius, float* out,
+                                 int32_t* bad, int threads) {
+  if (kind != 0 && kind != 2) return 2;  // maccs handled in Python for now
+  int dim = n_bits;
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  threads = std::max(1, std::min(threads, 64));
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      Mol mol;
+      std::string s(smiles[i]);
+      // trim whitespace
+      while (!s.empty() && isspace((unsigned char)s.back())) s.pop_back();
+      size_t st = 0;
+      while (st < s.size() && isspace((unsigned char)s[st])) st++;
+      s = s.substr(st);
+      bool ok = false;
+      try { ok = parse_smiles(s, &mol); } catch (...) { ok = false; }
+      if (!ok) { bad[i] = 1; continue; }
+      bad[i] = 0;
+      std::set<uint64_t> bits;
+      if (kind == 0) morgan_bits(mol, radius, n_bits, &bits);
+      else path_bits_dfs(mol, 1, 7, n_bits, 2, &bits);
+      float* row = out + (size_t)i * dim;
+      for (uint64_t b : bits) row[b] = 1.0f;
+    }
+  };
+
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}

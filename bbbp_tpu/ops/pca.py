@@ -29,11 +29,23 @@ class PCA:
         n, d = x.shape
         self.mean_ = jnp.mean(x, axis=0)
         xc = x - self.mean_
-        # covariance eigendecomposition: O(d^3), d <= a few thousand here
-        cov = (xc.T @ xc) / jnp.maximum(n - 1, 1)
-        w, v = jnp.linalg.eigh(cov)              # ascending
-        w = w[::-1]
-        v = v[:, ::-1]
+        if d <= n:
+            # primal: eigendecompose the d×d covariance
+            cov = (xc.T @ xc) / jnp.maximum(n - 1, 1)
+            w, v = jnp.linalg.eigh(cov)          # ascending
+            w = w[::-1]
+            v = v[:, ::-1]
+        else:
+            # dual (d ≫ n, e.g. 49k-dim flattened images over ~1k molecules):
+            # eigendecompose the n×n Gram matrix; right singular vectors are
+            # recovered as V = Xᵀ U Σ⁻¹ — avoids the d×d covariance entirely
+            gram = xc @ xc.T                      # [n, n]
+            wg, u = jnp.linalg.eigh(gram)         # ascending
+            wg = wg[::-1]
+            u = u[:, ::-1]
+            sigma = jnp.sqrt(jnp.maximum(wg, 1e-12))
+            v = xc.T @ (u / sigma[None, :])       # [d, n], orthonormal cols
+            w = wg / jnp.maximum(n - 1, 1)
         total_var = jnp.sum(jnp.clip(w, 0.0))
         ratio = jnp.clip(w, 0.0) / jnp.maximum(total_var, 1e-12)
         if self.n_components is None:

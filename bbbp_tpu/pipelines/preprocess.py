@@ -1,0 +1,144 @@
+"""Regression preprocessing pipeline (L3): featurize → standardize → PCA →
+interactions → isolation forest → logBB filter.
+
+Reproduces the reference's final preprocessors P6-P8
+(reference: Descriptors/multi_input_data_preprocess_maccs_opt_IsolationForest_fixed_1.py:86-141):
+standardize fp+image jointly, PCA(30) per modality on the normalized blocks,
+degree-2 interaction-only features of the two PCA blocks, IsolationForest(0.05)
+labels on the PCA blocks (stored, not filtered on), drop logBB < −2.0.
+
+Differences, deliberate (SURVEY.md §2.3 quirks): the reference fits the scaler
+(and in P7/P8 even the PCA) per consecutive 100-row batch; default here is a
+global fit, with ``compat_batch=100`` reproducing the quirk exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from bbbp_tpu.chem.featurize import fingerprints, images
+from bbbp_tpu.data import load_b3db_regression
+from bbbp_tpu.ops import PCA, StandardScaler, interaction_features
+from bbbp_tpu.ops.outliers import IsolationForest
+from bbbp_tpu.ops.scaler import standardize_per_batch
+from bbbp_tpu.ops.pca import pca_per_batch
+
+
+@dataclass
+class PreprocessConfig:
+    fp_kind: str = "maccs"            # morgan | maccs | rdkit
+    image_size: int = 128
+    pca_dim: int = 30
+    contamination: float = 0.05
+    logbb_min: Optional[float] = -2.0
+    compat_batch: Optional[int] = None  # 100 → reference per-batch quirk
+    compat_batch_pca: bool = False      # P7/P8 also refit PCA per batch
+    workers: Optional[int] = None
+    seed: int = 42
+    tsv_path: Optional[str] = None
+
+
+@dataclass
+class ProcessedData:
+    smiles: list
+    y: np.ndarray               # logBB after filtering
+    fp_norm: np.ndarray         # [N, d_fp] standardized fingerprints
+    img_norm: np.ndarray        # [N, H*W*3] standardized flat images
+    fp_pca: np.ndarray          # [N, pca_dim]
+    img_pca: np.ndarray         # [N, pca_dim]
+    interactions: np.ndarray    # [N, 2d + C(2d,2)]
+    outliers: np.ndarray        # [N] +1/-1
+    numbers: np.ndarray
+    config: PreprocessConfig
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> "ProcessedData":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> ProcessedData:
+    data = load_b3db_regression(cfg.tsv_path)
+    fp_res = fingerprints(data.smiles, kind=cfg.fp_kind, workers=cfg.workers)
+    img_res = images(data.smiles, size=cfg.image_size, workers=cfg.workers)
+    ok = fp_res.ok_mask & img_res.ok_mask
+    fp = fp_res.features[ok]
+    img = img_res.features[ok].reshape(ok.sum(), -1)
+    y = data.logbb[ok]
+    numbers = data.numbers[ok]
+    smiles = [s for s, m in zip(data.smiles, ok) if m]
+
+    # joint standardization of [fp | image] like the reference (:86-103)
+    joint = np.concatenate([fp, img], axis=1)
+    if cfg.compat_batch:
+        joint_n = standardize_per_batch(joint, cfg.compat_batch)
+    else:
+        joint_n = np.asarray(StandardScaler().fit_transform(joint))
+    d_fp = fp.shape[1]
+    fp_n, img_n = joint_n[:, :d_fp], joint_n[:, d_fp:]
+
+    if cfg.compat_batch and cfg.compat_batch_pca:
+        fp_p = pca_per_batch(fp_n, cfg.pca_dim, cfg.compat_batch)
+        img_p = pca_per_batch(img_n, cfg.pca_dim, cfg.compat_batch)
+    else:
+        fp_p = np.asarray(PCA(cfg.pca_dim).fit_transform(fp_n))
+        img_p = np.asarray(PCA(cfg.pca_dim).fit_transform(img_n))
+
+    inter = np.asarray(interaction_features(
+        np.concatenate([fp_p, img_p], axis=1)))
+    outl = IsolationForest(contamination=cfg.contamination,
+                           seed=cfg.seed).fit_predict(
+        np.concatenate([fp_p, img_p], axis=1))
+
+    if cfg.logbb_min is not None:
+        keep = y >= cfg.logbb_min
+    else:
+        keep = np.ones(len(y), dtype=bool)
+    return ProcessedData(
+        smiles=[s for s, m in zip(smiles, keep) if m],
+        y=y[keep].astype(np.float32),
+        fp_norm=fp_n[keep],
+        img_norm=img_n[keep],
+        fp_pca=fp_p[keep],
+        img_pca=img_p[keep],
+        interactions=inter[keep],
+        outliers=outl[keep],
+        numbers=numbers[keep],
+        config=cfg,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser(description="B3DB regression preprocessing")
+    ap.add_argument("--fp-kind", default="maccs", choices=["morgan", "maccs", "rdkit"])
+    ap.add_argument("--image-size", type=int, default=128)
+    ap.add_argument("--pca-dim", type=int, default=30)
+    ap.add_argument("--logbb-min", type=float, default=-2.0)
+    ap.add_argument("--compat-batch", type=int, default=None)
+    ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument("--output", default="processed_regression.pkl")
+    args = ap.parse_args()
+    cfg = PreprocessConfig(
+        fp_kind=args.fp_kind, image_size=args.image_size, pca_dim=args.pca_dim,
+        logbb_min=args.logbb_min, compat_batch=args.compat_batch,
+        workers=args.workers,
+    )
+    out = preprocess_regression(cfg)
+    out.save(args.output)
+    print(f"saved {len(out.y)} molecules to {args.output} "
+          f"(fp={out.fp_norm.shape}, img={out.img_norm.shape})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""Virtual screening pipeline (L6): SMILES stream → fingerprints → scaler →
+PCA → classifier → results CSV, at TPU scale.
+
+Reference: ``Descriptors/virtualscreening.py:1-19`` (Morgan fp → fitted
+scaler.transform → pca.transform → rf_model.predict/predict_proba →
+virtual_screening_results.csv), fed by zinc_download.py / create_descriptors_zinc.py.
+
+TPU redesign (SURVEY.md §3.5 / §7 step 7): the C++ featurizer fingerprints
+chunks on host threads while the previous chunk's scaler+PCA matmul and
+forest traversal run on-device under one jit; a double-buffered pipeline
+overlaps the two. Throughput target: ≥1M molecules/hour on v5e-8
+(= 34.7 mol/s/chip; BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import functools
+import pickle
+import threading
+import time
+from dataclasses import dataclass
+from queue import Queue
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bbbp_tpu.chem.featurize import fingerprints as featurize_fp
+from bbbp_tpu.data.zinc import chunked, iter_smi_dir, iter_smi_file
+from bbbp_tpu.ops import PCA, StandardScaler
+from bbbp_tpu.ops.forest import GBDTClassifier, RandomForestClassifier, TreeEnsemble
+
+
+@dataclass
+class ScreeningModel:
+    """Bundled scaler + PCA + classifier, the reference's (scaler, pca,
+    rf_model) triple (virtualscreening.py:9-13)."""
+
+    scaler_mean: np.ndarray
+    scaler_scale: np.ndarray
+    pca_mean: np.ndarray
+    pca_components: np.ndarray        # [k, d]
+    ensemble: TreeEnsemble
+    fp_kind: str = "morgan"
+    n_bits: int = 2048
+    threshold: float = 0.5
+
+    @staticmethod
+    def train(smiles: List[str], labels: np.ndarray, fp_kind: str = "morgan",
+              n_bits: int = 2048, pca_dim: int = 30, n_estimators: int = 300,
+              seed: int = 42, workers: Optional[int] = None) -> "ScreeningModel":
+        fp = featurize_fp(smiles, kind=fp_kind, n_bits=n_bits, workers=workers)
+        x = fp.features[fp.ok_mask]
+        y = np.asarray(labels)[fp.ok_mask]
+        scaler = StandardScaler().fit(x)
+        xs = np.asarray(scaler.transform(x))
+        pca = PCA(pca_dim).fit(xs)
+        z = np.asarray(pca.transform(xs))
+        clf = GBDTClassifier(n_estimators=n_estimators, learning_rate=0.1,
+                             max_depth=6, subsample=0.8, seed=seed).fit(z, y)
+        return ScreeningModel(
+            scaler_mean=np.asarray(scaler.mean_),
+            scaler_scale=np.asarray(scaler.scale_),
+            pca_mean=np.asarray(pca.mean_),
+            pca_components=np.asarray(pca.components_),
+            ensemble=clf.ensemble_,
+            fp_kind=fp_kind,
+            n_bits=n_bits,
+        )
+
+    def save(self, path: str) -> None:
+        state = {
+            "scaler_mean": self.scaler_mean,
+            "scaler_scale": self.scaler_scale,
+            "pca_mean": self.pca_mean,
+            "pca_components": self.pca_components,
+            "fp_kind": self.fp_kind,
+            "n_bits": self.n_bits,
+            "threshold": self.threshold,
+            "ensemble": {
+                "feature": np.asarray(self.ensemble.feature),
+                "threshold": np.asarray(self.ensemble.threshold),
+                "left": np.asarray(self.ensemble.left),
+                "right": np.asarray(self.ensemble.right),
+                "value": np.asarray(self.ensemble.value),
+                "cover": np.asarray(self.ensemble.cover),
+                "max_depth": self.ensemble.max_depth,
+                "base_score": self.ensemble.base_score,
+                "tree_scale": self.ensemble.tree_scale,
+            },
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    @staticmethod
+    def load(path: str) -> "ScreeningModel":
+        with open(path, "rb") as f:
+            s = pickle.load(f)
+        e = s["ensemble"]
+        ens = TreeEnsemble(
+            feature=jnp.asarray(e["feature"]), threshold=jnp.asarray(e["threshold"]),
+            left=jnp.asarray(e["left"]), right=jnp.asarray(e["right"]),
+            value=jnp.asarray(e["value"]), cover=jnp.asarray(e["cover"]),
+            max_depth=e["max_depth"], base_score=e["base_score"],
+            tree_scale=e["tree_scale"])
+        return ScreeningModel(
+            s["scaler_mean"], s["scaler_scale"], s["pca_mean"],
+            s["pca_components"], ens, s["fp_kind"], s["n_bits"], s["threshold"])
+
+
+def _make_device_fn(model: ScreeningModel):
+    """One jit: standardize → PCA project → forest margin → probability.
+    The scaler+PCA fold into a single fused matmul epilogue on the MXU."""
+    sm = jnp.asarray(model.scaler_mean)
+    ss = jnp.asarray(model.scaler_scale)
+    pm = jnp.asarray(model.pca_mean)
+    pc = jnp.asarray(model.pca_components.T)          # [d, k]
+    ens = model.ensemble
+
+    @jax.jit
+    def run(fp_chunk):
+        x = (fp_chunk - sm) / ss
+        z = (x - pm) @ pc
+        margin = ens.raw_predict(z)
+        return jax.nn.sigmoid(margin)
+
+    return run
+
+
+@dataclass
+class ScreenStats:
+    n_molecules: int
+    n_invalid: int
+    wall_s: float
+    featurize_s: float
+    device_s: float
+
+    @property
+    def mol_per_s(self) -> float:
+        return self.n_molecules / max(self.wall_s, 1e-9)
+
+
+def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
+           out_csv: Optional[str] = "virtual_screening_results.csv",
+           chunk_size: int = 8192, workers: Optional[int] = None,
+           verbose: bool = False) -> ScreenStats:
+    """Stream screening with host featurization overlapped against device
+    inference (double-buffered producer thread)."""
+    run = _make_device_fn(model)
+    t_start = time.time()
+    feat_time = 0.0
+    dev_time = 0.0
+    n_total = 0
+    n_bad = 0
+
+    q: Queue = Queue(maxsize=2)
+    _END = object()
+
+    def producer():
+        nonlocal feat_time, n_bad
+        for chunk in chunked(smiles_iter, chunk_size):
+            smiles = [c[0] for c in chunk]
+            ids = [c[1] for c in chunk]
+            t0 = time.time()
+            res = featurize_fp(smiles, kind=model.fp_kind, n_bits=model.n_bits,
+                               workers=workers)
+            feat_time += time.time() - t0
+            n_bad += len(res.bad_indices)
+            q.put((smiles, ids, res.features, res.bad_indices))
+        q.put(_END)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+
+    writer = None
+    fout = None
+    if out_csv:
+        fout = open(out_csv, "w", newline="")
+        writer = csv.writer(fout)
+        writer.writerow(["ID", "SMILES", "Prediction", "Probability"])
+
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        smiles, ids, feats, bad = item
+        t0 = time.time()
+        proba = np.asarray(run(jnp.asarray(feats)))
+        dev_time += time.time() - t0
+        n_total += len(smiles)
+        if writer is not None:
+            bad_set = set(int(b) for b in bad)
+            for i, (sid, smi) in enumerate(zip(ids, smiles)):
+                if i in bad_set:
+                    writer.writerow([sid, smi, "invalid", ""])
+                else:
+                    p = float(proba[i])
+                    writer.writerow([sid, smi, int(p > model.threshold), f"{p:.4f}"])
+    if fout is not None:
+        fout.close()
+    return ScreenStats(n_total, n_bad, time.time() - t_start, feat_time, dev_time)
+
+
+def train_default_model(workers: Optional[int] = None,
+                        seed: int = 42) -> ScreeningModel:
+    """Train the default screening classifier on B3DB classification data
+    (BBB+ = 1), as the reference trains its RF on B3DB before screening ZINC."""
+    from bbbp_tpu.data import load_b3db_classification
+
+    data = load_b3db_classification()
+    return ScreeningModel.train(data.smiles, data.labels, workers=workers,
+                                seed=seed)
+
+
+def main():
+    ap = argparse.ArgumentParser(description="TPU virtual screening")
+    ap.add_argument("input", help=".smi file or directory of tranches")
+    ap.add_argument("--model", default=None, help="ScreeningModel pickle; "
+                    "trains a fresh B3DB model if omitted")
+    ap.add_argument("--out", default="virtual_screening_results.csv")
+    ap.add_argument("--chunk-size", type=int, default=8192)
+    ap.add_argument("--workers", type=int, default=None)
+    args = ap.parse_args()
+    if args.model:
+        model = ScreeningModel.load(args.model)
+    else:
+        print("training default B3DB screening model...")
+        model = train_default_model(workers=args.workers)
+    import os
+
+    it = iter_smi_dir(args.input) if os.path.isdir(args.input) \
+        else iter_smi_file(args.input)
+    stats = screen(model, it, out_csv=args.out, chunk_size=args.chunk_size,
+                   workers=args.workers, verbose=True)
+    print(f"screened {stats.n_molecules} molecules "
+          f"({stats.n_invalid} invalid) in {stats.wall_s:.1f}s "
+          f"= {stats.mol_per_s:.0f} mol/s → {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""K-fold neural-net training with the fold axis as a batched device dimension.
+
+The reference trains 10 CV folds sequentially, each its own PyTorch loop
+(reference: Models/multi_input_data_regression_opt_transformer_cnn_20250113.py:146-241).
+TPU-first redesign (SURVEY.md §7 'batched orthogonal parallelism'): all folds
+train **simultaneously** — parameters, optimizer state, and batches carry a
+leading fold axis; one jitted epoch `lax.scan`s over steps and `vmap`s the
+train step over folds. On a mesh the fold axis shards over 'data'
+(embarrassingly parallel), so a v5e-8 runs all 10 folds at ~the wall-clock of
+one. Full feature/image tensors live in HBM once; per-step batches are
+device-side gathers — no per-batch H2D transfers (the reference pays one per
+step, :184-186).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+
+@dataclass
+class CVResult:
+    oof_pred: np.ndarray          # [N] out-of-fold predictions
+    fold_of: np.ndarray           # [N] fold id per sample
+    params: Any                   # stacked params pytree (leading fold axis)
+    batch_stats: Any
+    train_losses: np.ndarray      # [K, epochs]
+    fold_test_idx: list           # list of K index arrays
+
+
+def kfold_indices(n: int, k: int, seed: int = 42) -> list:
+    """Shuffled K-fold split (reference: KFold(10, shuffle=True, random_state=42))."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    return [perm[i::k] for i in range(k)]
+
+
+def _padded_train_sets(n: int, folds: list) -> Tuple[np.ndarray, int]:
+    """[K, S] train-index matrix; folds padded to equal size by wrapping."""
+    sets = []
+    for i in range(len(folds)):
+        tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
+        sets.append(tr)
+    s = max(len(t) for t in sets)
+    out = np.stack([np.resize(t, s) for t in sets])
+    return out, s
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5,
+                   warm_restart_period: int = 0) -> optax.GradientTransformation:
+    """AdamW(1e-4, wd=1e-5) like the reference (:178), with optional cosine
+    warm restarts (reference B1 uses CosineAnnealingWarmRestarts,
+    Models/multi_input_data_regression_opt.py:109-124)."""
+    if warm_restart_period > 0:
+        sched = optax.join_schedules(
+            [optax.cosine_decay_schedule(lr, warm_restart_period)
+             for _ in range(64)],
+            boundaries=[warm_restart_period * (i + 1) for i in range(63)],
+        )
+        return optax.adamw(sched, weight_decay=weight_decay)
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def train_multimodal_cv(
+    model,
+    fp: np.ndarray,
+    img: np.ndarray,
+    y: np.ndarray,
+    n_folds: int = 10,
+    epochs: int = 50,
+    batch_size: int = 32,
+    lr: float = 1e-4,
+    weight_decay: float = 1e-5,
+    seed: int = 42,
+    mesh=None,
+    log_every: int = 0,
+) -> CVResult:
+    """Train `model(fp, img, train=)` on all folds at once; return OOF preds.
+
+    fp: [N, d] float32; img: [N, H, W, 3] or [N, H*W*3]; y: [N] float32.
+    """
+    n = len(y)
+    folds = kfold_indices(n, n_folds, seed)
+    train_idx, s = _padded_train_sets(n, folds)                # [K, S]
+    k = n_folds
+    steps = s // batch_size
+
+    fp_d = jnp.asarray(fp, jnp.float32)
+    img_d = jnp.asarray(img, jnp.bfloat16)
+    y_d = jnp.asarray(y, jnp.float32)
+
+    tx = make_optimizer(lr, weight_decay)
+    root = jax.random.PRNGKey(seed)
+    init_keys = jax.random.split(root, k)
+
+    sample_fp = fp_d[:2]
+    sample_img = img_d[:2]
+
+    def init_one(key):
+        variables = model.init({"params": key, "dropout": key},
+                               sample_fp, sample_img, train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict({}))
+        return params, batch_stats, tx.init(params)
+
+    # jit the vmapped init: eager init dispatches hundreds of tiny ops
+    # individually (catastrophic over the axon tunnel — one RPC per op)
+    params, batch_stats, opt_state = jax.jit(jax.vmap(init_one))(init_keys)
+
+    def loss_fn(p, bs, fp_b, img_b, y_b, rng):
+        variables = {"params": p}
+        if bs:
+            variables["batch_stats"] = bs
+            pred, updates = model.apply(variables, fp_b, img_b, train=True,
+                                        rngs={"dropout": rng},
+                                        mutable=["batch_stats"])
+            new_bs = updates["batch_stats"]
+        else:
+            pred = model.apply(variables, fp_b, img_b, train=True,
+                               rngs={"dropout": rng})
+            new_bs = bs
+        return jnp.mean((pred - y_b) ** 2), new_bs
+
+    def one_fold_step(carry, idx_b, rng):
+        p, bs, opt = carry
+        fp_b = fp_d[idx_b]
+        img_b = img_d[idx_b]
+        y_b = y_d[idx_b]
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bs, fp_b, img_b, y_b, rng)
+        updates, new_opt = tx.update(grads, opt, p)
+        new_p = optax.apply_updates(p, updates)
+        return (new_p, new_bs, new_opt), loss
+
+    @jax.jit
+    def train_epoch(params, batch_stats, opt_state, idx_ksb, rngs_ks):
+        # vmap over folds, scan over steps
+        def fold_epoch(p, bs, opt, idx_sb, rng_s):
+            def body(carry, xs):
+                idx_b, rng = xs
+                return one_fold_step(carry, idx_b, rng)
+            (p, bs, opt), losses = jax.lax.scan(body, (p, bs, opt),
+                                                (idx_sb, rng_s))
+            return p, bs, opt, losses.mean()
+
+        return jax.vmap(fold_epoch)(params, batch_stats, opt_state,
+                                    idx_ksb, rngs_ks)
+
+    @jax.jit
+    def predict_chunk(params, batch_stats, fp_c, img_c):
+        def fold_pred(p, bs):
+            variables = {"params": p}
+            if bs:
+                variables["batch_stats"] = bs
+            return model.apply(variables, fp_c, img_c, train=False)
+        return jax.vmap(fold_pred)(params, batch_stats)        # [K, C]
+
+    def predict_all(params, batch_stats, chunk: int = 512):
+        """Chunked [K, N] prediction — bounds CNN activation memory."""
+        outs = []
+        pad = (-n) % chunk
+        fp_p = jnp.pad(fp_d, ((0, pad), (0, 0)))
+        img_p = jnp.pad(img_d, [(0, pad)] + [(0, 0)] * (img_d.ndim - 1))
+        for start in range(0, n + pad, chunk):
+            outs.append(predict_chunk(params, batch_stats,
+                                      fp_p[start:start + chunk],
+                                      img_p[start:start + chunk]))
+        return jnp.concatenate(outs, axis=1)[:, :n]
+
+    host_rng = np.random.default_rng(seed)
+    losses_hist = np.zeros((k, epochs), dtype=np.float32)
+    step_rng = root
+    for epoch in range(epochs):
+        perms = np.stack([
+            host_rng.permutation(train_idx[i])[: steps * batch_size]
+            for i in range(k)
+        ]).reshape(k, steps, batch_size)
+        step_rng, sub = jax.random.split(step_rng)
+        rngs = jax.random.split(sub, k * steps).reshape(k, steps, -1)
+        params, batch_stats, opt_state, mean_loss = train_epoch(
+            params, batch_stats, opt_state, jnp.asarray(perms), rngs)
+        losses_hist[:, epoch] = np.asarray(mean_loss)
+        if log_every and (epoch + 1) % log_every == 0:
+            print(f"epoch {epoch+1}/{epochs} loss/fold: "
+                  f"{np.asarray(mean_loss).round(4).tolist()}")
+
+    preds_kn = np.asarray(predict_all(params, batch_stats), dtype=np.float32)
+    oof = np.zeros(n, dtype=np.float32)
+    fold_of = np.zeros(n, dtype=np.int32)
+    for i, te in enumerate(folds):
+        oof[te] = preds_kn[i, te]
+        fold_of[te] = i
+    return CVResult(oof, fold_of, params, batch_stats, losses_hist, folds)

@@ -1,0 +1,160 @@
+"""Final regression pipeline (family B7): 10-fold CV of the multimodal NN +
+three forest surrogates, OOF stacking with a linear meta-learner.
+
+Reference protocol (Models/multi_input_data_regression_opt_transformer_cnn_20250113.py:130-415):
+per fold train the Transformer+CNN net (50 epochs), RF(300, d30),
+XGBoost(300, lr .01, d30, hist) and CatBoost(300, lr .01, d10); write each
+model's test-fold predictions into OOF arrays; fit
+StackingRegressor(final=LinearRegression) on the [N, 4] OOF matrix; report
+MSE/R² of the stacked prediction over the whole OOF set.
+
+TPU redesign: the NN trains all folds at once (bbbp_tpu.train.loop); the three
+tree legs use the tensorized forest engine (RF / GBDT / oblivious-GBDT as the
+XGB / CatBoost surrogates) with TPU inference; the meta-learner is the JAX
+closed-form LinearRegression.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from bbbp_tpu.models.transformer_cnn import MultiModalRegressor
+from bbbp_tpu.ops import metrics
+from bbbp_tpu.ops.forest import GBDTRegressor, RandomForestRegressor
+from bbbp_tpu.ops.linear import LinearRegression, Ridge
+from bbbp_tpu.pipelines.preprocess import PreprocessConfig, ProcessedData, preprocess_regression
+from bbbp_tpu.train.loop import train_multimodal_cv, kfold_indices
+
+
+@dataclass
+class RegressionTrainConfig:
+    fp_kind: str = "maccs"
+    n_folds: int = 10
+    epochs: int = 50
+    batch_size: int = 32
+    lr: float = 3e-4
+    n_layers: int = 4
+    fusion: str = "multihead"
+    fp_tokens: int = 1
+    seed: int = 42
+    # forest legs (reference hyperparameters :262-391, re-tuned for the engine)
+    rf_trees: int = 300
+    rf_depth: int = 12
+    gbdt_trees: int = 300
+    gbdt_lr: float = 0.03
+    gbdt_depth: int = 6
+    cat_trees: int = 300
+    cat_lr: float = 0.03
+    cat_depth: int = 6
+    meta: str = "linear"          # linear | ridge
+    image_size: int = 128
+    compat_batch: Optional[int] = None
+    workers: Optional[int] = None
+
+
+@dataclass
+class RegressionRunResult:
+    oof: Dict[str, np.ndarray]
+    stacked_pred: np.ndarray
+    y: np.ndarray
+    report: Dict[str, Dict[str, float]]
+    wall_time_s: float
+
+
+def _tree_features(d: ProcessedData) -> np.ndarray:
+    """Tree-leg feature matrix: normalized fp + both PCA blocks. The reference
+    feeds trees hstack(fp, flat 49k image) (:263); the PCA image block carries
+    the same signal at tractable width for histogram training."""
+    return np.concatenate([d.fp_norm, d.fp_pca, d.img_pca], axis=1).astype(np.float32)
+
+
+def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
+                   data: Optional[ProcessedData] = None,
+                   verbose: bool = True) -> RegressionRunResult:
+    t0 = time.time()
+    if data is None:
+        data = preprocess_regression(PreprocessConfig(
+            fp_kind=cfg.fp_kind, image_size=cfg.image_size,
+            compat_batch=cfg.compat_batch, workers=cfg.workers, seed=cfg.seed))
+    n = len(data.y)
+    y = data.y
+    img = data.img_norm.reshape(n, cfg.image_size, cfg.image_size, 3)
+
+    model = MultiModalRegressor(
+        fp_dim=data.fp_norm.shape[1], n_layers=cfg.n_layers,
+        fusion=cfg.fusion, fp_tokens=cfg.fp_tokens)
+    if verbose:
+        print(f"[regression] N={n} fp={data.fp_norm.shape} training NN "
+              f"({cfg.n_folds} folds x {cfg.epochs} epochs, all folds batched)...")
+    nn_res = train_multimodal_cv(
+        model, data.fp_norm, img, y, n_folds=cfg.n_folds, epochs=cfg.epochs,
+        batch_size=cfg.batch_size, lr=cfg.lr, seed=cfg.seed,
+        log_every=10 if verbose else 0)
+
+    folds = nn_res.fold_test_idx
+    xt = _tree_features(data)
+    oof = {"nn": nn_res.oof_pred,
+           "rf": np.zeros(n, np.float32),
+           "gbdt": np.zeros(n, np.float32),
+           "cat": np.zeros(n, np.float32)}
+    for i, te in enumerate(folds):
+        tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
+        if verbose:
+            print(f"[regression] fold {i+1}/{len(folds)} tree legs...")
+        rf = RandomForestRegressor(n_estimators=cfg.rf_trees,
+                                   max_depth=cfg.rf_depth,
+                                   seed=cfg.seed + i).fit(xt[tr], y[tr])
+        oof["rf"][te] = rf.predict(xt[te])
+        gb = GBDTRegressor(n_estimators=cfg.gbdt_trees, learning_rate=cfg.gbdt_lr,
+                           max_depth=cfg.gbdt_depth, subsample=0.8,
+                           seed=cfg.seed + i).fit(xt[tr], y[tr])
+        oof["gbdt"][te] = gb.predict(xt[te])
+        cat = GBDTRegressor(n_estimators=cfg.cat_trees, learning_rate=cfg.cat_lr,
+                            max_depth=cfg.cat_depth, oblivious=True,
+                            subsample=0.8, seed=cfg.seed + i).fit(xt[tr], y[tr])
+        oof["cat"][te] = cat.predict(xt[te])
+
+    stack_x = np.stack([oof[k] for k in ("nn", "rf", "gbdt", "cat")], axis=1)
+    meta = Ridge(1.0) if cfg.meta == "ridge" else LinearRegression()
+    meta.fit(stack_x, y)
+    stacked = meta.predict(stack_x)
+
+    report = {k: metrics.regression_report(y, v) for k, v in oof.items()}
+    report["stacked"] = metrics.regression_report(y, stacked)
+    if verbose:
+        for k, r in report.items():
+            print(f"[regression] {k:8s} R2={r['r2']:.4f} MSE={r['mse']:.4f}")
+    return RegressionRunResult(oof, stacked, y, report, time.time() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser(description="B3DB multimodal regression (B7)")
+    ap.add_argument("--fp-kind", default="maccs", choices=["morgan", "maccs", "rdkit"])
+    ap.add_argument("--folds", type=int, default=10)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--fusion", default="multihead",
+                    choices=["multihead", "gate", "crossmodal"])
+    ap.add_argument("--meta", default="linear", choices=["linear", "ridge"])
+    ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument("--out", default=None, help="write metrics JSON here")
+    args = ap.parse_args()
+    cfg = RegressionTrainConfig(fp_kind=args.fp_kind, n_folds=args.folds,
+                                epochs=args.epochs, lr=args.lr,
+                                fusion=args.fusion, meta=args.meta,
+                                workers=args.workers)
+    res = run_regression(cfg)
+    print(json.dumps({k: v for k, v in res.report.items()}, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res.report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

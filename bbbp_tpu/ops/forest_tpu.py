@@ -1,0 +1,299 @@
+"""Fully on-device GBDT / random-forest TRAINING — histograms on the MXU.
+
+The reference trains XGBoost/CatBoost/RF on host CPUs
+(Models/multi_input_data_regression_opt_transformer_cnn_20250113.py:262-391);
+this image has a single CPU core, so host training is the bottleneck. Here the
+entire boosting loop runs in ONE jit on the TPU:
+
+- features are quantile-binned once on host (uint8, ≤64 bins);
+- per level, gradient/hessian histograms are computed as one-hot **matmuls**
+  — einsum('np,nq->pq') of the node-assignment one-hot against the
+  (feature×bin) one-hot — i.e. the MXU does the split search;
+- trees use an implicit full-binary layout (level l = 2^l nodes) so every
+  shape is static; dead nodes degrade to always-go-left;
+- the scan over trees updates predictions in-place via the final node
+  assignment (no traversal needed during training);
+- row subsampling = Bernoulli mask on (g, h); RF bootstrap = Poisson(1)
+  sample weights; column subsampling = per-tree feature mask on the gains;
+  oblivious (CatBoost-style) mode sums gains over the level before argmax.
+
+Inference reuses the same implicit layout: D gather/compare steps, batch-
+parallel, mesh-shardable. Estimator classes mirror bbbp_tpu.ops.forest's API.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bbbp_tpu.ops.forest import BinMapper, MAX_BINS
+
+
+@dataclass
+class DenseTreeEnsemble:
+    """Implicit-layout forest: level-l internal nodes at flat [2^l-1, 2^{l+1}-1)."""
+
+    feat: jnp.ndarray     # [T, 2^D - 1] int32
+    thr: jnp.ndarray      # [T, 2^D - 1] f32 — go right iff x[f] > thr
+    leaf: jnp.ndarray     # [T, 2^D] f32
+    depth: int
+    base_score: float
+    tree_scale: float
+
+    def raw_predict(self, x: jnp.ndarray) -> jnp.ndarray:
+        return _dense_predict(self.feat, self.thr, self.leaf,
+                              jnp.asarray(x, jnp.float32), self.depth,
+                              self.base_score, self.tree_scale)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _dense_predict(feat, thr, leaf, x, depth, base_score, tree_scale):
+    n = x.shape[0]
+    T = feat.shape[0]
+    pos = jnp.zeros((n, T), dtype=jnp.int32)
+    t_idx = jnp.arange(T)[None, :]
+    for l in range(depth):
+        flat = (1 << l) - 1 + pos
+        f = feat[t_idx, flat]                        # [n, T]
+        t = thr[t_idx, flat]
+        xv = jnp.take_along_axis(x, f, axis=1)
+        pos = 2 * pos + (xv > t).astype(jnp.int32)
+    vals = leaf[t_idx, pos]
+    return base_score + tree_scale * jnp.sum(vals, axis=1)
+
+
+def _grow_level(pos, flat_bin_keys, g, h, l, F, B, lam, min_child, col_mask,
+                oblivious):
+    """One level of split search for all current nodes.
+
+    pos: [n] node position within level (0..2^l)
+    flat_bin_keys: [n, F] int32 = f*B + bin(x_f), precomputed once
+    returns (feat_l [2^l], bin_l [2^l], has_split [2^l])
+    """
+    nodes = 1 << l
+    # exact f32 histograms via segment_sum over [n*F] scatter keys — O(n·F)
+    # work regardless of level width (a one-hot matmul would be
+    # O(n·nodes·F·B) and explode at deep levels)
+    keys = (pos[:, None] * (F * B) + flat_bin_keys).ravel()
+    hg = jax.ops.segment_sum(jnp.repeat(g, F), keys,
+                             num_segments=nodes * F * B,
+                             indices_are_sorted=False)
+    hh = jax.ops.segment_sum(jnp.repeat(h, F), keys,
+                             num_segments=nodes * F * B,
+                             indices_are_sorted=False)
+    hg = hg.reshape(nodes, F, B)
+    hh = hh.reshape(nodes, F, B)
+    gl = jnp.cumsum(hg, axis=2)
+    hl = jnp.cumsum(hh, axis=2)
+    tg = gl[:, :, -1:]
+    th = hl[:, :, -1:]
+    gr = tg - gl
+    hr = th - hl
+    gain = (gl ** 2 / (hl + lam) + gr ** 2 / (hr + lam)
+            - tg ** 2 / (th + lam))
+    valid = (hl >= min_child) & (hr >= min_child) & col_mask[None, :, None]
+    gain = jnp.where(valid, gain, -jnp.inf)
+    if oblivious:
+        total = jnp.where(jnp.isfinite(gain), gain, 0.0).sum(axis=0) \
+            + jnp.where(jnp.isinf(gain).any(axis=0), -jnp.inf, 0.0)
+        best = jnp.argmax(total)
+        f_best = jnp.full((nodes,), best // B, dtype=jnp.int32)
+        b_best = jnp.full((nodes,), best % B, dtype=jnp.int32)
+        has_split = jnp.full((nodes,), jnp.isfinite(total.reshape(-1)[best]))
+    else:
+        flat_gain = gain.reshape(nodes, F * B)
+        best = jnp.argmax(flat_gain, axis=1)                      # [nodes]
+        best_gain = jnp.take_along_axis(flat_gain, best[:, None], axis=1)[:, 0]
+        f_best = (best // B).astype(jnp.int32)
+        b_best = (best % B).astype(jnp.int32)
+        has_split = jnp.isfinite(best_gain) & (best_gain > 0)
+    # dead nodes: everything goes left (bin threshold = B-1)
+    f_best = jnp.where(has_split, f_best, 0)
+    b_best = jnp.where(has_split, b_best, B - 1)
+    return f_best, b_best, has_split
+
+
+def _fit_forest_device(xb, edge_vals, y, *, task: str, n_trees: int, depth: int,
+                       lr: float, lam: float, min_child: float,
+                       subsample: float, colsample: float, oblivious: bool,
+                       rf: bool, base_score: float, seed: int):
+    """One jit: scan over trees, python-unrolled levels (static depth)."""
+    n, F = xb.shape
+    B = MAX_BINS
+    n_internal = (1 << depth) - 1
+    n_leaves = 1 << depth
+
+    xb_i = xb.astype(jnp.int32)
+    flat_bin_keys = jnp.arange(F, dtype=jnp.int32)[None, :] * B + xb_i  # [n, F]
+    y = jnp.asarray(y, jnp.float32)
+
+    def tree_step(carry, key):
+        preds = carry
+        k1, k2, k3 = jax.random.split(key, 3)
+        if rf:
+            w = jax.random.poisson(k1, 1.0, (n,)).astype(jnp.float32)
+            g = -y * w
+            h = w
+        else:
+            if task == "reg":
+                g = preds - y
+                h = jnp.ones_like(y)
+            else:
+                p = jax.nn.sigmoid(preds)
+                g = p - y
+                h = jnp.maximum(p * (1 - p), 1e-6)
+            if subsample < 1.0:
+                m = (jax.random.uniform(k2, (n,)) < subsample).astype(jnp.float32)
+                g = g * m
+                h = h * m
+        if colsample < 1.0:
+            col_mask = jax.random.uniform(k3, (F,)) < colsample
+            col_mask = col_mask.at[jnp.argmax(col_mask)].set(True)  # ≥1 feature
+        else:
+            col_mask = jnp.ones((F,), dtype=bool)
+
+        feat_flat = jnp.zeros((n_internal,), jnp.int32)
+        bin_flat = jnp.zeros((n_internal,), jnp.int32)
+        pos = jnp.zeros((n,), jnp.int32)
+        for l in range(depth):
+            f_l, b_l, _ = _grow_level(pos, flat_bin_keys, g, h, l, F, B, lam,
+                                      min_child, col_mask, oblivious)
+            off = (1 << l) - 1
+            feat_flat = jax.lax.dynamic_update_slice(feat_flat, f_l, (off,))
+            bin_flat = jax.lax.dynamic_update_slice(bin_flat, b_l, (off,))
+            xf = jnp.take_along_axis(xb_i, f_l[pos][:, None], axis=1)[:, 0]
+            pos = 2 * pos + (xf > b_l[pos]).astype(jnp.int32)
+
+        gs = jax.ops.segment_sum(g, pos, num_segments=n_leaves)
+        hs = jax.ops.segment_sum(h, pos, num_segments=n_leaves)
+        leaf = -gs / (hs + lam)
+        if not rf:
+            preds = preds + lr * leaf[pos]
+        thr_flat = edge_vals[feat_flat, bin_flat]
+        return preds, (feat_flat, thr_flat, leaf)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_trees)
+    preds0 = jnp.full((n,), base_score, jnp.float32)
+    _, (feats, thrs, leaves) = jax.lax.scan(tree_step, preds0, keys)
+    return feats, thrs, leaves
+
+
+# jit once per static config; arrays are donated through scan internally
+_fit_forest_jit = jax.jit(
+    _fit_forest_device,
+    static_argnames=("task", "n_trees", "depth", "lr", "lam", "min_child",
+                     "subsample", "colsample", "oblivious", "rf",
+                     "base_score", "seed"),
+)
+
+
+class _TPUBase:
+    def __init__(self, n_estimators=300, max_depth=6, learning_rate=0.1,
+                 reg_lambda=1.0, min_child_weight=1.0, subsample=1.0,
+                 colsample=1.0, oblivious=False, seed=0):
+        self.n_estimators = n_estimators
+        self.max_depth = max_depth
+        self.learning_rate = learning_rate
+        self.reg_lambda = reg_lambda
+        self.min_child_weight = min_child_weight
+        self.subsample = subsample
+        self.colsample = colsample
+        self.oblivious = oblivious
+        self.seed = seed
+        self.ensemble_: Optional[DenseTreeEnsemble] = None
+
+    def _prepare(self, x):
+        x = np.asarray(x, dtype=np.float32)
+        self.mapper_ = BinMapper().fit(x)
+        xb = self.mapper_.transform(x)
+        F = x.shape[1]
+        edge_vals = np.full((F, MAX_BINS), np.inf, dtype=np.float32)
+        for f, e in enumerate(self.mapper_.edges_):
+            if len(e):
+                edge_vals[f, : len(e)] = e
+                edge_vals[f, len(e):] = np.inf
+        return jnp.asarray(xb), jnp.asarray(edge_vals)
+
+    def _fit(self, x, y, task: str, rf: bool, base_score: float):
+        xb, edge_vals = self._prepare(x)
+        feats, thrs, leaves = _fit_forest_jit(
+            xb, edge_vals, np.asarray(y, np.float32), task=task,
+            n_trees=self.n_estimators, depth=self.max_depth,
+            lr=self.learning_rate, lam=self.reg_lambda,
+            min_child=self.min_child_weight, subsample=self.subsample,
+            colsample=self.colsample, oblivious=self.oblivious, rf=rf,
+            base_score=base_score, seed=self.seed)
+        scale = (1.0 / self.n_estimators) if rf else self.learning_rate
+        self.ensemble_ = DenseTreeEnsemble(feats, thrs, leaves, self.max_depth,
+                                           base_score, scale)
+        return self
+
+    def get_params(self, deep=True):
+        return {k: getattr(self, k) for k in
+                ("n_estimators", "max_depth", "learning_rate", "reg_lambda",
+                 "min_child_weight", "subsample", "colsample", "oblivious", "seed")}
+
+    def set_params(self, **p):
+        for k, v in p.items():
+            setattr(self, k, v)
+        return self
+
+
+class TPUGBDTRegressor(_TPUBase):
+    def fit(self, x, y):
+        return self._fit(x, y, "reg", rf=False,
+                         base_score=float(np.mean(y)))
+
+    def predict(self, x) -> np.ndarray:
+        return np.asarray(self.ensemble_.raw_predict(jnp.asarray(x, jnp.float32)))
+
+
+class TPUGBDTClassifier(_TPUBase):
+    def fit(self, x, y):
+        p0 = float(np.clip(np.mean(y), 1e-6, 1 - 1e-6))
+        return self._fit(x, y, "cls", rf=False,
+                         base_score=float(np.log(p0 / (1 - p0))))
+
+    def decision_function(self, x) -> np.ndarray:
+        return np.asarray(self.ensemble_.raw_predict(jnp.asarray(x, jnp.float32)))
+
+    def predict_proba(self, x) -> np.ndarray:
+        p = 1.0 / (1.0 + np.exp(-self.decision_function(x)))
+        return np.stack([1 - p, p], axis=1)
+
+    def predict(self, x) -> np.ndarray:
+        return (self.decision_function(x) > 0).astype(np.int32)
+
+
+class TPURandomForestRegressor(_TPUBase):
+    def __init__(self, n_estimators=300, max_depth=10, colsample=1.0,
+                 min_child_weight=1.0, **kw):
+        kw.setdefault("reg_lambda", 1e-6)
+        super().__init__(n_estimators=n_estimators, max_depth=max_depth,
+                         colsample=colsample,
+                         min_child_weight=min_child_weight, **kw)
+
+    def fit(self, x, y):
+        return self._fit(x, y, "reg", rf=True, base_score=0.0)
+
+    def predict(self, x) -> np.ndarray:
+        return np.asarray(self.ensemble_.raw_predict(jnp.asarray(x, jnp.float32)))
+
+
+class TPURandomForestClassifier(TPURandomForestRegressor):
+    def __init__(self, n_estimators=300, max_depth=10, colsample=0.5, **kw):
+        super().__init__(n_estimators=n_estimators, max_depth=max_depth,
+                         colsample=colsample, **kw)
+
+    def predict_proba(self, x) -> np.ndarray:
+        p = np.clip(super().predict(x), 0.0, 1.0)
+        return np.stack([1 - p, p], axis=1)
+
+    def predict(self, x) -> np.ndarray:
+        return (np.clip(super(TPURandomForestClassifier, self).predict(x), 0, 1)
+                > 0.5).astype(np.int32)

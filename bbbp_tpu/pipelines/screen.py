@@ -31,7 +31,7 @@ import numpy as np
 from bbbp_tpu.chem.featurize import fingerprints as featurize_fp
 from bbbp_tpu.data.zinc import chunked, iter_smi_dir, iter_smi_file
 from bbbp_tpu.ops import PCA, StandardScaler
-from bbbp_tpu.ops.forest import GBDTClassifier, RandomForestClassifier, TreeEnsemble
+from bbbp_tpu.ops.forest_tpu import TPUGBDTClassifier as GBDTClassifier, DenseTreeEnsemble
 
 
 @dataclass
@@ -43,7 +43,7 @@ class ScreeningModel:
     scaler_scale: np.ndarray
     pca_mean: np.ndarray
     pca_components: np.ndarray        # [k, d]
-    ensemble: TreeEnsemble
+    ensemble: DenseTreeEnsemble
     fp_kind: str = "morgan"
     n_bits: int = 2048
     threshold: float = 0.5
@@ -81,13 +81,10 @@ class ScreeningModel:
             "n_bits": self.n_bits,
             "threshold": self.threshold,
             "ensemble": {
-                "feature": np.asarray(self.ensemble.feature),
-                "threshold": np.asarray(self.ensemble.threshold),
-                "left": np.asarray(self.ensemble.left),
-                "right": np.asarray(self.ensemble.right),
-                "value": np.asarray(self.ensemble.value),
-                "cover": np.asarray(self.ensemble.cover),
-                "max_depth": self.ensemble.max_depth,
+                "feat": np.asarray(self.ensemble.feat),
+                "thr": np.asarray(self.ensemble.thr),
+                "leaf": np.asarray(self.ensemble.leaf),
+                "depth": self.ensemble.depth,
                 "base_score": self.ensemble.base_score,
                 "tree_scale": self.ensemble.tree_scale,
             },
@@ -100,12 +97,10 @@ class ScreeningModel:
         with open(path, "rb") as f:
             s = pickle.load(f)
         e = s["ensemble"]
-        ens = TreeEnsemble(
-            feature=jnp.asarray(e["feature"]), threshold=jnp.asarray(e["threshold"]),
-            left=jnp.asarray(e["left"]), right=jnp.asarray(e["right"]),
-            value=jnp.asarray(e["value"]), cover=jnp.asarray(e["cover"]),
-            max_depth=e["max_depth"], base_score=e["base_score"],
-            tree_scale=e["tree_scale"])
+        ens = DenseTreeEnsemble(
+            feat=jnp.asarray(e["feat"]), thr=jnp.asarray(e["thr"]),
+            leaf=jnp.asarray(e["leaf"]), depth=e["depth"],
+            base_score=e["base_score"], tree_scale=e["tree_scale"])
         return ScreeningModel(
             s["scaler_mean"], s["scaler_scale"], s["pca_mean"],
             s["pca_components"], ens, s["fp_kind"], s["n_bits"], s["threshold"])

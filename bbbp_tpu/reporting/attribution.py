@@ -1,0 +1,195 @@
+"""Attribution: exact TreeSHAP for the forest engine, integrated gradients for
+the neural branches.
+
+Replaces the reference's SHAP usage (TreeExplainer for tree models,
+KernelExplainer otherwise — Models/model_opt_20250130.py:241-349). TreeSHAP is
+the exact Lundberg polynomial-time algorithm over bbbp_tpu.ops.forest trees
+(cover = hessian mass recorded at fit time); integrated gradients is the
+standard path integral, jit-compiled and batched on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# exact TreeSHAP (Lundberg et al. 2018, Algorithm 2)
+# ---------------------------------------------------------------------------
+
+class _Path:
+    __slots__ = ("feat", "zero", "one", "weight")
+
+    def __init__(self):
+        self.feat: list = []
+        self.zero: list = []
+        self.one: list = []
+        self.weight: list = []
+
+    def copy(self) -> "_Path":
+        p = _Path()
+        p.feat = self.feat[:]
+        p.zero = self.zero[:]
+        p.one = self.one[:]
+        p.weight = self.weight[:]
+        return p
+
+
+def _extend(p: _Path, pz: float, po: float, fi: int) -> None:
+    l = len(p.feat)
+    p.feat.append(fi)
+    p.zero.append(pz)
+    p.one.append(po)
+    p.weight.append(1.0 if l == 0 else 0.0)
+    for i in range(l - 1, -1, -1):
+        p.weight[i + 1] += po * p.weight[i] * (i + 1) / (l + 1)
+        p.weight[i] = pz * p.weight[i] * (l - i) / (l + 1)
+
+
+def _unwind(p: _Path, i: int) -> _Path:
+    l = len(p.feat) - 1
+    out = p.copy()
+    n = out.weight[l]
+    po, pz = out.one[i], out.zero[i]
+    for j in range(l - 1, -1, -1):
+        if po != 0:
+            t = out.weight[j]
+            out.weight[j] = n * (l + 1) / ((j + 1) * po)
+            n = t - out.weight[j] * pz * (l - j) / (l + 1)
+        else:
+            out.weight[j] = out.weight[j] * (l + 1) / (pz * (l - j))
+    for j in range(i, l):
+        out.feat[j] = out.feat[j + 1]
+        out.zero[j] = out.zero[j + 1]
+        out.one[j] = out.one[j + 1]
+    out.feat.pop()
+    out.zero.pop()
+    out.one.pop()
+    out.weight.pop()
+    return out
+
+
+def _unwound_sum(p: _Path, i: int) -> float:
+    l = len(p.feat) - 1
+    po, pz = p.one[i], p.zero[i]
+    total = 0.0
+    n = p.weight[l]
+    for j in range(l - 1, -1, -1):
+        if po != 0:
+            t = n * (l + 1) / ((j + 1) * po)
+            total += t
+            n = p.weight[j] - t * pz * (l - j) / (l + 1)
+        else:
+            total += p.weight[j] * (l + 1) / (pz * (l - j))
+    return total
+
+
+def tree_shap_values(tree, x: np.ndarray) -> np.ndarray:
+    """Exact SHAP values for one _TreeArrays tree, batch of samples.
+
+    tree: bbbp_tpu.ops.forest._TreeArrays; x: [n, d] → phi [n, d].
+    """
+    n, d = x.shape
+    phi = np.zeros((n, d), dtype=np.float64)
+    feature = tree.feature
+    threshold = tree.threshold
+    left = tree.left
+    right = tree.right
+    value = tree.value
+    cover = np.maximum(tree.cover, 1e-12)
+
+    for s in range(n):
+        xs = x[s]
+
+        def recurse(node: int, p: _Path, pz: float, po: float, pi: int) -> None:
+            p = p.copy()
+            _extend(p, pz, po, pi)
+            if feature[node] < 0:
+                for i in range(1, len(p.feat)):
+                    w = _unwound_sum(p, i)
+                    phi[s, p.feat[i]] += w * (p.one[i] - p.zero[i]) * value[node]
+                return
+            f = feature[node]
+            hot, cold = (left[node], right[node]) if xs[f] <= threshold[node] \
+                else (right[node], left[node])
+            iz, io = 1.0, 1.0
+            k = -1
+            for i in range(1, len(p.feat)):
+                if p.feat[i] == f:
+                    k = i
+                    break
+            if k >= 0:
+                iz, io = p.zero[k], p.one[k]
+                p = _unwind(p, k)
+            recurse(hot, p, iz * cover[hot] / cover[node], io, f)
+            recurse(cold, p, iz * cover[cold] / cover[node], 0.0, f)
+
+        root_path = _Path()
+        recurse(0, root_path, 1.0, 1.0, -1)
+    return phi
+
+
+def forest_shap_values(estimator, x: np.ndarray,
+                       max_samples: Optional[int] = 200,
+                       seed: int = 0) -> np.ndarray:
+    """SHAP values for a fitted forest estimator (sum over trees × scale).
+    Additivity: base_score + tree_scale·Σ tree-values + Σ phi = prediction."""
+    x = np.asarray(x, dtype=np.float32)
+    if max_samples is not None and len(x) > max_samples:
+        idx = np.random.default_rng(seed).choice(len(x), max_samples, replace=False)
+        x = x[idx]
+    phi = np.zeros((len(x), x.shape[1]), dtype=np.float64)
+    for tree in estimator._host_trees:
+        phi += tree_shap_values(tree, x)
+    return phi * estimator.ensemble_.tree_scale
+
+
+def forest_feature_importance(estimator) -> np.ndarray:
+    """Gain-free cover-weighted split-count importance (quick global view)."""
+    d = 0
+    for t in estimator._host_trees:
+        if len(t.feature):
+            d = max(d, int(t.feature.max()) + 1)
+    imp = np.zeros(max(d, 1))
+    for t in estimator._host_trees:
+        for nid, f in enumerate(t.feature):
+            if f >= 0:
+                imp[f] += t.cover[nid]
+    s = imp.sum()
+    return imp / s if s > 0 else imp
+
+
+# ---------------------------------------------------------------------------
+# integrated gradients (NN branches)
+# ---------------------------------------------------------------------------
+
+def integrated_gradients(apply_fn: Callable, inputs, baseline=None,
+                         steps: int = 64):
+    """IG along the straight-line path, batched under one jit.
+
+    apply_fn: pytree-of-arrays -> [batch] predictions (pure).
+    inputs/baseline: pytrees of [batch, ...] arrays (baseline defaults to 0).
+    Returns attributions with the same structure as inputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if baseline is None:
+        baseline = jax.tree.map(jnp.zeros_like, inputs)
+
+    alphas = jnp.linspace(0.0, 1.0, steps)
+
+    @jax.jit
+    def run(inputs, baseline):
+        def point_grad(alpha):
+            x = jax.tree.map(lambda b, i: b + alpha * (i - b), baseline, inputs)
+            g = jax.grad(lambda xx: jnp.sum(apply_fn(xx)))(x)
+            return g
+
+        grads = jax.lax.map(point_grad, alphas)       # [steps, ...]
+        avg = jax.tree.map(lambda g: g.mean(0), grads)
+        return jax.tree.map(lambda i, b, a: (i - b) * a, inputs, baseline, avg)
+
+    return run(inputs, baseline)

@@ -33,7 +33,7 @@ import numpy as np
 from bbbp_tpu.chem.featurize import fingerprints
 from bbbp_tpu.data import load_b3db_classification
 from bbbp_tpu.ops import PCA, StandardScaler, metrics
-from bbbp_tpu.ops.forest import GBDTClassifier, RandomForestClassifier
+from bbbp_tpu.ops.forest_tpu import TPUGBDTClassifier as GBDTClassifier, TPURandomForestClassifier as RandomForestClassifier
 from bbbp_tpu.ops.linear import (
     BernoulliNB,
     KNeighborsClassifier,
@@ -67,7 +67,7 @@ def default_zoo(seed: int = 42) -> Dict[str, Callable[[], object]]:
         "bnb": lambda: BernoulliNB(),
         "dt": lambda: GBDTClassifier(n_estimators=1, learning_rate=1.0,
                                      max_depth=12, seed=seed),
-        "rf": lambda: RandomForestClassifier(n_estimators=200, max_depth=14,
+        "rf": lambda: RandomForestClassifier(n_estimators=200, max_depth=10,
                                              seed=seed),
         "gb": lambda: GBDTClassifier(n_estimators=200, learning_rate=0.1,
                                      max_depth=4, seed=seed),
@@ -156,7 +156,7 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
     stack_test = np.concatenate(
         [np.stack([test_proba[m] for m in names], axis=1), x_te], axis=1)
     finals = {
-        "rf": RandomForestClassifier(n_estimators=200, max_depth=12, seed=cfg.seed),
+        "rf": RandomForestClassifier(n_estimators=200, max_depth=10, seed=cfg.seed),
         "gb": GBDTClassifier(n_estimators=200, learning_rate=0.1, max_depth=4,
                              seed=cfg.seed),
         "xgb": GBDTClassifier(n_estimators=200, learning_rate=0.1, max_depth=6,

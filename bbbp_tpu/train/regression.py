@@ -26,7 +26,7 @@ import numpy as np
 
 from bbbp_tpu.models.transformer_cnn import MultiModalRegressor
 from bbbp_tpu.ops import metrics
-from bbbp_tpu.ops.forest import GBDTRegressor, RandomForestRegressor
+from bbbp_tpu.ops.forest_tpu import TPUGBDTRegressor as GBDTRegressor, TPURandomForestRegressor as RandomForestRegressor
 from bbbp_tpu.ops.linear import LinearRegression, Ridge
 from bbbp_tpu.pipelines.preprocess import PreprocessConfig, ProcessedData, preprocess_regression
 from bbbp_tpu.train.loop import train_multimodal_cv, kfold_indices
@@ -45,7 +45,7 @@ class RegressionTrainConfig:
     seed: int = 42
     # forest legs (reference hyperparameters :262-391, re-tuned for the engine)
     rf_trees: int = 300
-    rf_depth: int = 12
+    rf_depth: int = 10
     gbdt_trees: int = 300
     gbdt_lr: float = 0.03
     gbdt_depth: int = 6

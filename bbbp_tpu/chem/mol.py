@@ -137,64 +137,97 @@ class Mol:
 
     # -- perception --------------------------------------------------------
     def finalize(self) -> "Mol":
-        """Ring perception → aromaticity perception → implicit H assignment."""
+        """Ring perception → implicit H → aromaticity perception.
+
+        H must be inferred BEFORE aromatization: kekulé inputs carry the H
+        count in their explicit bond orders (pyrrole N with two ring singles
+        → 1 H); once ring bonds become order-1.5 that information is gone.
+        Aromatic-form inputs are unaffected (their bonds parse as aromatic
+        already, so the 1.5 arithmetic applies either way).
+        """
         self._perceive_rings()
-        self._perceive_aromaticity()
         self._assign_implicit_h()
+        self._perceive_aromaticity()
+        # sanitize: an aromatic bond outside any ring (biaryl linkage written
+        # without the explicit '-') cannot be aromatic — demote to single
+        for b in self.bonds:
+            if b.order == BOND_AROMATIC and not b.in_ring:
+                b.order = BOND_SINGLE
         for a in self.atoms:
             a.degree = len(self.neighbors[a.idx])
         return self
 
     def _perceive_rings(self) -> None:
-        """Fundamental cycle basis via BFS spanning forest, shrunk toward SSSR.
+        """Atom-order-INVARIANT ring perception.
 
-        For each non-tree bond, the smallest ring through that bond is found by
-        BFS excluding the bond itself — giving smallest rings per chord, which
-        matches SSSR well enough for ring-membership/size invariants.
+        Ring bonds = non-bridge bonds (bridge set is a graph invariant, unlike
+        a spanning-tree cycle basis whose chord choice depends on atom order —
+        the original cause of canonicalization mismatches in fused systems).
+        For every ring bond, the smallest cycle through it (BFS excluding the
+        bond) supplies ring membership and per-atom minimum ring size; its
+        LENGTH is invariant even when the particular shortest path is tied.
         """
         n = self.num_atoms
-        visited = [False] * n
-        tree_bond = [False] * self.num_bonds
-        for root in range(n):
-            if visited[root]:
-                continue
-            visited[root] = True
-            stack = [root]
-            while stack:
-                u = stack.pop()
-                for bi in self.neighbors[u]:
-                    v = self.bonds[bi].other(u)
-                    if not visited[v]:
-                        visited[v] = True
-                        tree_bond[bi] = True
-                        stack.append(v)
+        bridges = self._find_bridges()
         rings: List[List[int]] = []
         seen_ringsets = set()
-        for bi, is_tree in enumerate(tree_bond):
-            if is_tree:
+        ring_bond_cycle_len: Dict[int, int] = {}
+        for bi, b in enumerate(self.bonds):
+            if bridges[bi]:
                 continue
-            b = self.bonds[bi]
             path = self._shortest_path_excluding(b.a1, b.a2, bi)
             if path is None:
                 continue
+            ring_bond_cycle_len[bi] = len(path)
             key = frozenset(path)
             if key not in seen_ringsets:
                 seen_ringsets.add(key)
                 rings.append(path)
         self.rings = rings
-        ring_atoms = set()
-        ring_bond_keys = set()
-        for ring in rings:
-            ring_atoms.update(ring)
-            for i in range(len(ring)):
-                a1, a2 = ring[i], ring[(i + 1) % len(ring)]
-                ring_bond_keys.add((min(a1, a2), max(a1, a2)))
-        for a in self.atoms:
-            a.in_ring = a.idx in ring_atoms
-            sizes = [len(r) for r in rings if a.idx in r]
-            a.min_ring_size = min(sizes) if sizes else 0
         for b in self.bonds:
-            b.in_ring = (min(b.a1, b.a2), max(b.a1, b.a2)) in ring_bond_keys
+            b.in_ring = b.idx in ring_bond_cycle_len
+        for a in self.atoms:
+            sizes = [ring_bond_cycle_len[bi] for bi in self.neighbors[a.idx]
+                     if bi in ring_bond_cycle_len]
+            a.in_ring = bool(sizes)
+            a.min_ring_size = min(sizes) if sizes else 0
+
+    def _find_bridges(self) -> List[bool]:
+        """Tarjan bridge finding (iterative); True = bridge (not on any cycle)."""
+        n = self.num_atoms
+        disc = [-1] * n
+        low = [0] * n
+        is_bridge = [False] * self.num_bonds
+        timer = [0]
+        for root in range(n):
+            if disc[root] != -1:
+                continue
+            stack = [(root, -1, iter(self.neighbors[root]))]
+            disc[root] = low[root] = timer[0]
+            timer[0] += 1
+            while stack:
+                u, pbond, it = stack[-1]
+                advanced = False
+                for bi in it:
+                    if bi == pbond:
+                        continue
+                    v = self.bonds[bi].other(u)
+                    if disc[v] == -1:
+                        disc[v] = low[v] = timer[0]
+                        timer[0] += 1
+                        stack.append((v, bi, iter(self.neighbors[v])))
+                        advanced = True
+                        break
+                    else:
+                        low[u] = min(low[u], disc[v])
+                if not advanced:
+                    stack.pop()
+                    if stack:
+                        parent = stack[-1][0]
+                        low[parent] = min(low[parent], low[u])
+                        if low[u] > disc[parent]:
+                            is_bridge[pbond] = True
+        return is_bridge
 
     def _shortest_path_excluding(self, src: int, dst: int, skip_bond: int) -> Optional[List[int]]:
         from collections import deque
@@ -231,7 +264,7 @@ class Mol:
         # bonds between two aromatic atoms within a ring become aromatic below.
         changed = True
         passes = 0
-        while changed and passes < 4:
+        while changed and passes < 6:
             changed = False
             passes += 1
             for ring in self.rings:
@@ -247,6 +280,18 @@ class Mol:
                         if not self.atoms[i].aromatic:
                             self.atoms[i].aromatic = True
                             changed = True
+            # fused systems: a kekulé resonance form may place doubles across
+            # the fusion so no single ring passes Hückel while the union does
+            # (quinoxaline, naphthalene alt-forms); evaluate bond-fused unions
+            for union in self._fused_ring_unions():
+                if all(self.atoms[i].aromatic for i in union):
+                    continue
+                pi = self._ring_pi_electrons(sorted(union))
+                if pi is not None and pi % 4 == 2:
+                    for i in union:
+                        if not self.atoms[i].aromatic:
+                            self.atoms[i].aromatic = True
+                            changed = True
         # Mark ring bonds between aromatic atoms as aromatic.
         for ring in self.rings:
             if all(self.atoms[i].aromatic for i in ring):
@@ -254,6 +299,41 @@ class Mol:
                     b = self.get_bond(ring[i], ring[(i + 1) % len(ring)])
                     if b is not None:
                         b.order = BOND_AROMATIC
+
+    def _fused_ring_unions(self) -> List[set]:
+        """Connected components of size-3..7 rings sharing a bond → atom unions."""
+        # only π-capable rings join a union: a fused sp3 ring (e.g. the
+        # tetrahydro ring of a carboline) must not veto the aromatic part
+        small = [r for r in self.rings if 3 <= len(r) <= 7
+                 and self._ring_pi_electrons(r) is not None]
+        if len(small) < 2:
+            return []
+        ring_bondsets = []
+        for r in small:
+            bs = set()
+            for i in range(len(r)):
+                a1, a2 = r[i], r[(i + 1) % len(r)]
+                bs.add((min(a1, a2), max(a1, a2)))
+            ring_bondsets.append(bs)
+        parent = list(range(len(small)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(small)):
+            for j in range(i + 1, len(small)):
+                if ring_bondsets[i] & ring_bondsets[j]:
+                    parent[find(i)] = find(j)
+        comps: Dict[int, set] = {}
+        counts: Dict[int, int] = {}
+        for i, r in enumerate(small):
+            root = find(i)
+            comps.setdefault(root, set()).update(r)
+            counts[root] = counts.get(root, 0) + 1
+        return [atoms for k, atoms in comps.items() if counts[k] > 1]
 
     def _ring_pi_electrons(self, ring: List[int]) -> Optional[int]:
         ring_set = set(ring)
@@ -273,11 +353,19 @@ class Mol:
         for bi in self.neighbors[atom.idx]:
             b = self.bonds[bi]
             other = b.other(atom.idx)
-            if b.order == BOND_DOUBLE or b.order == BOND_AROMATIC:
+            if b.order == BOND_DOUBLE:
                 if other in ring_set:
                     in_ring_double = True
                 else:
                     exo_double = True
+            elif b.order == BOND_AROMATIC:
+                # canonical rule: an aromatic bond means this atom's π electron
+                # is delocalized in an (already perceived) aromatic system —
+                # count it like an exocyclic double regardless of direction, so
+                # fused-ring evaluation is identical for kekulé and aromatic
+                # input forms (kekulé evaluation happens before any bond is
+                # converted to aromatic, where such bonds read as exo doubles)
+                exo_double = True
             elif b.order == BOND_TRIPLE:
                 has_triple = True
         if has_triple:

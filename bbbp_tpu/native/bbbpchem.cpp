@@ -157,42 +157,70 @@ static bool shortest_path_excl(const Mol& m, int src, int dst, int skip_bond,
   return false;
 }
 
-static void perceive_rings(Mol& m) {
+// Tarjan bridge finding (iterative); true = bridge (not on any cycle).
+// Mirrors mol.py::_find_bridges so ring perception is atom-order invariant.
+static std::vector<char> find_bridges(const Mol& m) {
   int n = (int)m.atoms.size();
-  std::vector<char> visited(n, 0);
-  std::vector<char> tree_bond(m.bonds.size(), 0);
+  std::vector<int> disc(n, -1), low(n, 0);
+  std::vector<char> is_bridge(m.bonds.size(), 0);
+  int timer = 0;
+  struct Frame { int u; int pbond; size_t it; };
   for (int root = 0; root < n; root++) {
-    if (visited[root]) continue;
-    visited[root] = 1;
-    std::vector<int> stack{root};
+    if (disc[root] != -1) continue;
+    std::vector<Frame> stack;
+    stack.push_back({root, -1, 0});
+    disc[root] = low[root] = timer++;
     while (!stack.empty()) {
-      int u = stack.back(); stack.pop_back();
-      for (int bi : m.nbr[u]) {
-        int v = m.bonds[bi].other(u);
-        if (!visited[v]) { visited[v] = 1; tree_bond[bi] = 1; stack.push_back(v); }
+      Frame& f = stack.back();
+      bool advanced = false;
+      while (f.it < m.nbr[f.u].size()) {
+        int bi = m.nbr[f.u][f.it++];
+        if (bi == f.pbond) continue;
+        int v = m.bonds[bi].other(f.u);
+        if (disc[v] == -1) {
+          disc[v] = low[v] = timer++;
+          stack.push_back({v, bi, 0});
+          advanced = true;
+          break;
+        } else {
+          low[f.u] = std::min(low[f.u], disc[v]);
+        }
+      }
+      if (!advanced && f.it >= m.nbr[f.u].size()) {
+        int u = f.u, pbond = f.pbond;
+        stack.pop_back();
+        if (!stack.empty()) {
+          int parent = stack.back().u;
+          low[parent] = std::min(low[parent], low[u]);
+          if (low[u] > disc[parent]) is_bridge[pbond] = 1;
+        }
       }
     }
   }
+  return is_bridge;
+}
+
+static void perceive_rings(Mol& m) {
+  std::vector<char> bridges = find_bridges(m);
   std::set<std::vector<int>> seen;
+  std::vector<char> bond_in_ring(m.bonds.size(), 0);
   for (size_t bi = 0; bi < m.bonds.size(); bi++) {
-    if (tree_bond[bi]) continue;
+    if (bridges[bi]) continue;
     std::vector<int> path;
     if (!shortest_path_excl(m, m.bonds[bi].a1, m.bonds[bi].a2, (int)bi, &path))
       continue;
+    bond_in_ring[bi] = 1;
     std::vector<int> key = path;
     std::sort(key.begin(), key.end());
     if (seen.insert(key).second) m.rings.push_back(path);
   }
-  std::set<std::pair<int,int>> ring_bonds;
-  for (auto& ring : m.rings) {
-    for (size_t i = 0; i < ring.size(); i++) {
-      int a1 = ring[i], a2 = ring[(i + 1) % ring.size()];
-      m.atoms[a1].in_ring = true;
-      ring_bonds.insert({std::min(a1,a2), std::max(a1,a2)});
+  for (size_t bi = 0; bi < m.bonds.size(); bi++) {
+    m.bonds[bi].in_ring = bond_in_ring[bi];
+    if (bond_in_ring[bi]) {
+      m.atoms[m.bonds[bi].a1].in_ring = true;
+      m.atoms[m.bonds[bi].a2].in_ring = true;
     }
   }
-  for (auto& b : m.bonds)
-    b.in_ring = ring_bonds.count({std::min(b.a1,b.a2), std::max(b.a1,b.a2)}) > 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -205,9 +233,12 @@ static bool pi_contribution(const Mol& m, int ai, const std::set<int>& ring_set,
   for (int bi : m.nbr[ai]) {
     const Bond& b = m.bonds[bi];
     int other = b.other(ai);
-    if (b.order == BOND_DOUBLE || b.order == BOND_AROMATIC) {
+    if (b.order == BOND_DOUBLE) {
       if (ring_set.count(other)) in_ring_double = true;
       else exo_double = true;
+    } else if (b.order == BOND_AROMATIC) {
+      // canonical rule (mirrors mol.py): delocalized elsewhere → exo
+      exo_double = true;
     } else if (b.order == BOND_TRIPLE) {
       has_triple = true;
     }
@@ -226,10 +257,63 @@ static bool pi_contribution(const Mol& m, int ai, const std::set<int>& ring_set,
   return false;
 }
 
+static bool ring_pi_total(const Mol& m, const std::set<int>& rs, int* total) {
+  *total = 0;
+  for (int i : rs) {
+    int c;
+    if (!pi_contribution(m, i, rs, &c)) return false;
+    *total += c;
+  }
+  return true;
+}
+
+// connected components of pi-capable size-3..7 rings sharing a bond → unions
+// (mirrors mol.py::_fused_ring_unions)
+static std::vector<std::set<int>> fused_ring_unions(const Mol& m) {
+  std::vector<const std::vector<int>*> small;
+  for (auto& r : m.rings) {
+    if (r.size() < 3 || r.size() > 7) continue;
+    std::set<int> rs(r.begin(), r.end());
+    int t;
+    if (ring_pi_total(m, rs, &t)) small.push_back(&r);
+  }
+  std::vector<std::set<int>> out;
+  if (small.size() < 2) return out;
+  std::vector<std::set<std::pair<int,int>>> bondsets(small.size());
+  for (size_t i = 0; i < small.size(); i++) {
+    const auto& r = *small[i];
+    for (size_t k = 0; k < r.size(); k++) {
+      int a1 = r[k], a2 = r[(k + 1) % r.size()];
+      bondsets[i].insert({std::min(a1,a2), std::max(a1,a2)});
+    }
+  }
+  std::vector<int> parent(small.size());
+  for (size_t i = 0; i < parent.size(); i++) parent[i] = (int)i;
+  std::function<int(int)> find = [&](int i) {
+    while (parent[i] != i) { parent[i] = parent[parent[i]]; i = parent[i]; }
+    return i;
+  };
+  for (size_t i = 0; i < small.size(); i++)
+    for (size_t j = i + 1; j < small.size(); j++) {
+      for (auto& bp : bondsets[i])
+        if (bondsets[j].count(bp)) { parent[find((int)i)] = find((int)j); break; }
+    }
+  std::map<int, std::set<int>> comps;
+  std::map<int, int> counts;
+  for (size_t i = 0; i < small.size(); i++) {
+    int root = find((int)i);
+    comps[root].insert(small[i]->begin(), small[i]->end());
+    counts[root]++;
+  }
+  for (auto& kv : comps)
+    if (counts[kv.first] > 1) out.push_back(kv.second);
+  return out;
+}
+
 static void perceive_aromaticity(Mol& m) {
   bool changed = true;
   int passes = 0;
-  while (changed && passes < 4) {
+  while (changed && passes < 6) {
     changed = false;
     passes++;
     for (auto& ring : m.rings) {
@@ -238,15 +322,21 @@ static void perceive_aromaticity(Mol& m) {
       for (int i : ring) if (!m.atoms[i].aromatic) { all_arom = false; break; }
       if (all_arom) continue;
       std::set<int> rs(ring.begin(), ring.end());
-      int total = 0; bool ok = true;
-      for (int i : ring) {
-        int c;
-        if (!pi_contribution(m, i, rs, &c)) { ok = false; break; }
-        total += c;
-      }
-      if (!ok) continue;
+      int total = 0;
+      if (!ring_pi_total(m, rs, &total)) continue;
       if (total % 4 == 2) {
         for (int i : ring)
+          if (!m.atoms[i].aromatic) { m.atoms[i].aromatic = true; changed = true; }
+      }
+    }
+    for (auto& uni : fused_ring_unions(m)) {
+      bool all_arom = true;
+      for (int i : uni) if (!m.atoms[i].aromatic) { all_arom = false; break; }
+      if (all_arom) continue;
+      int total = 0;
+      if (!ring_pi_total(m, uni, &total)) continue;
+      if (total % 4 == 2) {
+        for (int i : uni)
           if (!m.atoms[i].aromatic) { m.atoms[i].aromatic = true; changed = true; }
       }
     }
@@ -478,8 +568,11 @@ static bool parse_smiles(const std::string& s, Mol* mol) {
   }
   if (!stack.empty() || !ring_open.empty() || mol->atoms.empty()) return false;
   perceive_rings(*mol);
+  assign_implicit_h(*mol);    // H from kekulé orders BEFORE aromatization
   perceive_aromaticity(*mol);
-  assign_implicit_h(*mol);
+  // sanitize: non-ring aromatic bonds (biaryl without '-') demote to single
+  for (auto& b : mol->bonds)
+    if (b.order == BOND_AROMATIC && !b.in_ring) b.order = BOND_SINGLE;
   return true;
 }
 

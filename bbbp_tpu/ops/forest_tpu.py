@@ -118,11 +118,15 @@ def _grow_level(pos, flat_bin_keys, g, h, l, F, B, lam, min_child, col_mask,
     return f_best, b_best, has_split
 
 
-def _fit_forest_device(xb, edge_vals, y, *, task: str, n_trees: int, depth: int,
-                       lr: float, lam: float, min_child: float,
-                       subsample: float, colsample: float, oblivious: bool,
-                       rf: bool, base_score: float, seed: int):
-    """One jit: scan over trees, python-unrolled levels (static depth)."""
+def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
+                       colsample, base_score, key, *, task: str,
+                       n_trees: int, depth: int, oblivious: bool, rf: bool):
+    """One jit: scan over trees, python-unrolled levels (static depth).
+
+    Hyperparameters (lr, lam, ..., base_score, key) are TRACED so per-fold /
+    per-seed refits reuse one compilation — only (task, n_trees, depth,
+    oblivious, rf) and array shapes trigger recompiles.
+    """
     n, F = xb.shape
     B = MAX_BINS
     n_internal = (1 << depth) - 1
@@ -147,15 +151,12 @@ def _fit_forest_device(xb, edge_vals, y, *, task: str, n_trees: int, depth: int,
                 p = jax.nn.sigmoid(preds)
                 g = p - y
                 h = jnp.maximum(p * (1 - p), 1e-6)
-            if subsample < 1.0:
-                m = (jax.random.uniform(k2, (n,)) < subsample).astype(jnp.float32)
-                g = g * m
-                h = h * m
-        if colsample < 1.0:
-            col_mask = jax.random.uniform(k3, (F,)) < colsample
-            col_mask = col_mask.at[jnp.argmax(col_mask)].set(True)  # ≥1 feature
-        else:
-            col_mask = jnp.ones((F,), dtype=bool)
+            # traced subsample rate: rate >= 1.0 keeps every row
+            m = (jax.random.uniform(k2, (n,)) < subsample).astype(jnp.float32)
+            g = g * m
+            h = h * m
+        col_mask = jax.random.uniform(k3, (F,)) < colsample
+        col_mask = col_mask.at[jnp.argmax(col_mask)].set(True)  # ≥1 feature
 
         feat_flat = jnp.zeros((n_internal,), jnp.int32)
         bin_flat = jnp.zeros((n_internal,), jnp.int32)
@@ -177,18 +178,17 @@ def _fit_forest_device(xb, edge_vals, y, *, task: str, n_trees: int, depth: int,
         thr_flat = edge_vals[feat_flat, bin_flat]
         return preds, (feat_flat, thr_flat, leaf)
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_trees)
-    preds0 = jnp.full((n,), base_score, jnp.float32)
+    keys = jax.random.split(key, n_trees)
+    preds0 = jnp.full((n,), 1.0, jnp.float32) * base_score
     _, (feats, thrs, leaves) = jax.lax.scan(tree_step, preds0, keys)
     return feats, thrs, leaves
 
 
-# jit once per static config; arrays are donated through scan internally
+# jit once per (task, n_trees, depth, oblivious, rf, shapes); hyperparameters
+# and the PRNG key are traced, so per-fold refits hit the compile cache
 _fit_forest_jit = jax.jit(
     _fit_forest_device,
-    static_argnames=("task", "n_trees", "depth", "lr", "lam", "min_child",
-                     "subsample", "colsample", "oblivious", "rf",
-                     "base_score", "seed"),
+    static_argnames=("task", "n_trees", "depth", "oblivious", "rf"),
 )
 
 
@@ -222,12 +222,13 @@ class _TPUBase:
     def _fit(self, x, y, task: str, rf: bool, base_score: float):
         xb, edge_vals = self._prepare(x)
         feats, thrs, leaves = _fit_forest_jit(
-            xb, edge_vals, np.asarray(y, np.float32), task=task,
+            xb, edge_vals, np.asarray(y, np.float32),
+            jnp.float32(self.learning_rate), jnp.float32(self.reg_lambda),
+            jnp.float32(self.min_child_weight), jnp.float32(self.subsample),
+            jnp.float32(self.colsample), jnp.float32(base_score),
+            jax.random.PRNGKey(self.seed), task=task,
             n_trees=self.n_estimators, depth=self.max_depth,
-            lr=self.learning_rate, lam=self.reg_lambda,
-            min_child=self.min_child_weight, subsample=self.subsample,
-            colsample=self.colsample, oblivious=self.oblivious, rf=rf,
-            base_score=base_score, seed=self.seed)
+            oblivious=self.oblivious, rf=rf)
         scale = (1.0 / self.n_estimators) if rf else self.learning_rate
         self.ensemble_ = DenseTreeEnsemble(feats, thrs, leaves, self.max_depth,
                                            base_score, scale)

@@ -23,6 +23,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+class _ParamsMixin:
+    """sklearn-style get_params/set_params from __init__ kwargs (for the
+    search module)."""
+
+    _param_names: tuple = ()
+
+    def get_params(self, deep: bool = True):
+        return {k: getattr(self, k) for k in self._param_names}
+
+    def set_params(self, **p):
+        for k, v in p.items():
+            setattr(self, k, v)
+        return self
+
+
 def _as_f32(x):
     return jnp.asarray(x, dtype=jnp.float32)
 
@@ -31,8 +47,10 @@ def _as_f32(x):
 # Linear / ridge regression (closed form)
 # ---------------------------------------------------------------------------
 
-class LinearRegression:
+class LinearRegression(_ParamsMixin):
     """OLS via regularized normal equations (ridge with alpha→0)."""
+
+    _param_names = ("alpha", "fit_intercept")
 
     def __init__(self, alpha: float = 1e-6, fit_intercept: bool = True):
         self.alpha = alpha
@@ -91,7 +109,9 @@ def _logreg_newton(x, y, l2, n_iter):
     return w
 
 
-class LogisticRegression:
+class LogisticRegression(_ParamsMixin):
+    _param_names = ("C", "n_iter")
+
     def __init__(self, C: float = 1.0, n_iter: int = 25):
         self.C = C
         self.n_iter = n_iter
@@ -145,9 +165,11 @@ def _svm_train(x, y_pm, c, n_steps):
     return w
 
 
-class LinearSVC:
+class LinearSVC(_ParamsMixin):
     """Squared-hinge linear SVM with Platt-scaled probabilities — replaces
     SVC(kernel='linear', probability=True) (reference: Models/model_opt_20250130.py:430)."""
+
+    _param_names = ("C", "n_steps")
 
     def __init__(self, C: float = 1.0, n_steps: int = 400):
         self.C = C
@@ -179,7 +201,7 @@ class LinearSVC:
 # Naive Bayes
 # ---------------------------------------------------------------------------
 
-class GaussianNB:
+class GaussianNB(_ParamsMixin):
     def fit(self, x, y) -> "GaussianNB":
         x = np.asarray(x, np.float32)
         y = np.asarray(y, np.int32)
@@ -207,8 +229,10 @@ class GaussianNB:
         return self.classes_[self._joint(x).argmax(1)]
 
 
-class BernoulliNB:
+class BernoulliNB(_ParamsMixin):
     """sklearn-style BernoulliNB with binarize=0.0 (reference: Models/model.py:139)."""
+
+    _param_names = ("alpha", "binarize")
 
     def __init__(self, alpha: float = 1.0, binarize: float = 0.0):
         self.alpha = alpha
@@ -254,7 +278,9 @@ def _knn_neighbor_labels(train_x, train_y, x, k):
     return train_y[idx]  # [n, k]
 
 
-class KNeighborsClassifier:
+class KNeighborsClassifier(_ParamsMixin):
+    _param_names = ("n_neighbors",)
+
     def __init__(self, n_neighbors: int = 5):
         self.n_neighbors = n_neighbors
 
@@ -347,9 +373,11 @@ def _mlp_train(x, y, seed, hidden, n_steps, classify):
     return params
 
 
-class MLPClassifier:
+class MLPClassifier(_ParamsMixin):
     """Small fully-batched MLP — replaces sklearn MLPClassifier
     (reference: Models/model_opt_20250130.py:444)."""
+
+    _param_names = ("hidden", "n_steps", "seed")
 
     def __init__(self, hidden=(100,), n_steps: int = 500, seed: int = 0):
         self.hidden = tuple(hidden)

@@ -76,18 +76,26 @@ def _grow_level(pos, flat_bin_keys, g, h, l, F, B, lam, min_child, col_mask,
     returns (feat_l [2^l], bin_l [2^l], has_split [2^l])
     """
     nodes = 1 << l
-    # exact f32 histograms via segment_sum over [n*F] scatter keys — O(n·F)
+    # exact f32 histograms via segment_sum over [n*Fc] scatter keys — O(n·F)
     # work regardless of level width (a one-hot matmul would be
-    # O(n·nodes·F·B) and explode at deep levels)
-    keys = (pos[:, None] * (F * B) + flat_bin_keys).ravel()
-    hg = jax.ops.segment_sum(jnp.repeat(g, F), keys,
-                             num_segments=nodes * F * B,
-                             indices_are_sorted=False)
-    hh = jax.ops.segment_sum(jnp.repeat(h, F), keys,
-                             num_segments=nodes * F * B,
-                             indices_are_sorted=False)
-    hg = hg.reshape(nodes, F, B)
-    hh = hh.reshape(nodes, F, B)
+    # O(n·nodes·F·B) and explode at deep levels). Features are processed in
+    # chunks: very wide single scatters (~2k features × deep levels) crash
+    # the TPU worker, and chunking also caps the segment-buffer size.
+    F_CHUNK = 256
+    hg_parts, hh_parts = [], []
+    for f0 in range(0, F, F_CHUNK):
+        fc = min(F_CHUNK, F - f0)
+        # chunk-local keys: subtract the chunk's bin-key offset
+        keys = (pos[:, None] * (fc * B)
+                + (flat_bin_keys[:, f0:f0 + fc] - f0 * B)).ravel()
+        vg = jnp.broadcast_to(g[:, None], (g.shape[0], fc)).ravel()
+        vh = jnp.broadcast_to(h[:, None], (h.shape[0], fc)).ravel()
+        hg_parts.append(jax.ops.segment_sum(
+            vg, keys, num_segments=nodes * fc * B).reshape(nodes, fc, B))
+        hh_parts.append(jax.ops.segment_sum(
+            vh, keys, num_segments=nodes * fc * B).reshape(nodes, fc, B))
+    hg = jnp.concatenate(hg_parts, axis=1) if len(hg_parts) > 1 else hg_parts[0]
+    hh = jnp.concatenate(hh_parts, axis=1) if len(hh_parts) > 1 else hh_parts[0]
     gl = jnp.cumsum(hg, axis=2)
     hl = jnp.cumsum(hh, axis=2)
     tg = gl[:, :, -1:]

@@ -43,6 +43,10 @@ class PreprocessConfig:
     workers: Optional[int] = None
     seed: int = 42
     tsv_path: Optional[str] = None
+    # beyond-parity enrichment: physchem descriptors + the other two
+    # fingerprint kinds PCA-compressed (SURVEY §7 "don't stop at parity")
+    enrich: bool = True
+    aux_pca_dim: int = 100
 
 
 @dataclass
@@ -57,6 +61,24 @@ class ProcessedData:
     outliers: np.ndarray        # [N] +1/-1
     numbers: np.ndarray
     config: PreprocessConfig
+    desc_norm: Optional[np.ndarray] = None   # [N, 20] physchem descriptors
+    aux_fp_pca: Optional[np.ndarray] = None  # [N, 2*aux_pca_dim] other fps
+
+    def tree_features(self) -> np.ndarray:
+        """Enriched tree-leg matrix: descriptors + fp + aux-fp PCA + img PCA."""
+        blocks = [self.fp_norm, self.fp_pca, self.img_pca]
+        if self.desc_norm is not None:
+            blocks.insert(0, self.desc_norm)
+        if self.aux_fp_pca is not None:
+            blocks.append(self.aux_fp_pca)
+        return np.concatenate(blocks, axis=1).astype(np.float32)
+
+    def nn_fp_features(self) -> np.ndarray:
+        """NN fingerprint-branch input: fp + descriptors when enriched."""
+        if self.desc_norm is not None:
+            return np.concatenate([self.fp_norm, self.desc_norm], axis=1
+                                  ).astype(np.float32)
+        return self.fp_norm
 
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
@@ -101,6 +123,24 @@ def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> Process
                            seed=cfg.seed).fit_predict(
         np.concatenate([fp_p, img_p], axis=1))
 
+    desc_n = None
+    aux = None
+    if cfg.enrich:
+        from bbbp_tpu.chem.descriptors import descriptor_matrix
+
+        desc, _ = descriptor_matrix(smiles)
+        desc_n = np.asarray(StandardScaler().fit_transform(desc))
+        aux_blocks = []
+        for kind in ("morgan", "rdkit"):
+            if kind == cfg.fp_kind:
+                continue
+            res = fingerprints(smiles, kind=kind, workers=cfg.workers)
+            xn = np.asarray(StandardScaler().fit_transform(res.features))
+            k = min(cfg.aux_pca_dim, xn.shape[0], xn.shape[1])
+            aux_blocks.append(np.asarray(PCA(k).fit_transform(xn)))
+        if aux_blocks:
+            aux = np.concatenate(aux_blocks, axis=1)
+
     if cfg.logbb_min is not None:
         keep = y >= cfg.logbb_min
     else:
@@ -116,6 +156,8 @@ def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> Process
         outliers=outl[keep],
         numbers=numbers[keep],
         config=cfg,
+        desc_norm=desc_n[keep] if desc_n is not None else None,
+        aux_fp_pca=aux[keep] if aux is not None else None,
     )
 
 

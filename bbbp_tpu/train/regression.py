@@ -42,6 +42,8 @@ class RegressionTrainConfig:
     n_layers: int = 4
     fusion: str = "multihead"
     fp_tokens: int = 1
+    nn_seeds: int = 3            # deep-ensemble width on the batched fold axis
+    snapshot_from: Optional[int] = 30   # SWA-style epoch snapshot averaging
     seed: int = 42
     # forest legs (reference hyperparameters :262-391, re-tuned for the engine)
     rf_trees: int = 300
@@ -53,6 +55,7 @@ class RegressionTrainConfig:
     cat_lr: float = 0.03
     cat_depth: int = 6
     meta: str = "linear"          # linear | ridge
+    extra_legs: bool = True       # + kNN and ridge OOF legs (B9-style pool)
     image_size: int = 128
     compat_batch: Optional[int] = None
     workers: Optional[int] = None
@@ -68,10 +71,11 @@ class RegressionRunResult:
 
 
 def _tree_features(d: ProcessedData) -> np.ndarray:
-    """Tree-leg feature matrix: normalized fp + both PCA blocks. The reference
-    feeds trees hstack(fp, flat 49k image) (:263); the PCA image block carries
-    the same signal at tractable width for histogram training."""
-    return np.concatenate([d.fp_norm, d.fp_pca, d.img_pca], axis=1).astype(np.float32)
+    """Tree-leg feature matrix. The reference feeds trees hstack(fp, flat 49k
+    image) (:263); here: physchem descriptors + normalized fp + aux-fp PCA +
+    image PCA (ablation: descriptors alone reach R²≈0.58; enriched set beats
+    any fingerprint-only combination)."""
+    return d.tree_features()
 
 
 def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
@@ -86,23 +90,27 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     y = data.y
     img = data.img_norm.reshape(n, cfg.image_size, cfg.image_size, 3)
 
+    nn_fp = data.nn_fp_features()
     model = MultiModalRegressor(
-        fp_dim=data.fp_norm.shape[1], n_layers=cfg.n_layers,
+        fp_dim=nn_fp.shape[1], n_layers=cfg.n_layers,
         fusion=cfg.fusion, fp_tokens=cfg.fp_tokens)
     if verbose:
-        print(f"[regression] N={n} fp={data.fp_norm.shape} training NN "
+        print(f"[regression] N={n} fp={nn_fp.shape} training NN "
               f"({cfg.n_folds} folds x {cfg.epochs} epochs, all folds batched)...")
     nn_res = train_multimodal_cv(
-        model, data.fp_norm, img, y, n_folds=cfg.n_folds, epochs=cfg.epochs,
+        model, nn_fp, img, y, n_folds=cfg.n_folds, epochs=cfg.epochs,
         batch_size=cfg.batch_size, lr=cfg.lr, seed=cfg.seed,
+        n_seeds=cfg.nn_seeds, snapshot_from=cfg.snapshot_from,
         log_every=10 if verbose else 0)
 
     folds = nn_res.fold_test_idx
     xt = _tree_features(data)
-    oof = {"nn": nn_res.oof_pred,
-           "rf": np.zeros(n, np.float32),
-           "gbdt": np.zeros(n, np.float32),
-           "cat": np.zeros(n, np.float32)}
+    leg_names = ["nn", "rf", "gbdt", "cat"]
+    if cfg.extra_legs:
+        leg_names += ["knn", "ridge"]
+    oof = {m: np.zeros(n, np.float32) for m in leg_names}
+    oof["nn"] = nn_res.oof_pred
+    from bbbp_tpu.ops.linear import KNeighborsRegressor
     for i, te in enumerate(folds):
         tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
         if verbose:
@@ -119,8 +127,11 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                             max_depth=cfg.cat_depth, oblivious=True,
                             subsample=0.8, seed=cfg.seed + i).fit(xt[tr], y[tr])
         oof["cat"][te] = cat.predict(xt[te])
+        if cfg.extra_legs:
+            oof["knn"][te] = KNeighborsRegressor(10).fit(xt[tr], y[tr]).predict(xt[te])
+            oof["ridge"][te] = Ridge(10.0).fit(xt[tr], y[tr]).predict(xt[te])
 
-    stack_x = np.stack([oof[k] for k in ("nn", "rf", "gbdt", "cat")], axis=1)
+    stack_x = np.stack([oof[k] for k in leg_names], axis=1)
     meta = Ridge(1.0) if cfg.meta == "ridge" else LinearRegression()
     meta.fit(stack_x, y)
     stacked = meta.predict(stack_x)

@@ -725,6 +725,43 @@ static void path_bits_dfs(const Mol& m, int min_path, int max_path, int n_bits,
 
 }  // namespace
 
+extern "C" int bbbp_fingerprints_packed(const char** smiles, int n, int kind,
+                                        int n_bits, int radius, uint32_t* out,
+                                        int32_t* bad, int threads) {
+  // packed variant: out is row-major [n, n_bits/32] uint32 (little bit order)
+  if (kind != 0 && kind != 2) return 2;
+  if (n_bits % 32 != 0) return 3;
+  int words = n_bits / 32;
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  threads = std::max(1, std::min(threads, 64));
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      Mol mol;
+      std::string s(smiles[i]);
+      while (!s.empty() && isspace((unsigned char)s.back())) s.pop_back();
+      size_t st = 0;
+      while (st < s.size() && isspace((unsigned char)s[st])) st++;
+      s = s.substr(st);
+      bool ok = false;
+      try { ok = parse_smiles(s, &mol); } catch (...) { ok = false; }
+      if (!ok) { bad[i] = 1; continue; }
+      bad[i] = 0;
+      std::set<uint64_t> bits;
+      if (kind == 0) morgan_bits(mol, radius, n_bits, &bits);
+      else path_bits_dfs(mol, 1, 7, n_bits, 2, &bits);
+      uint32_t* row = out + (size_t)i * words;
+      for (uint64_t b : bits) row[b >> 5] |= (1u << (b & 31));
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
 extern "C" int bbbp_fingerprints(const char** smiles, int n, int kind,
                                  int n_bits, int radius, float* out,
                                  int32_t* bad, int threads) {

@@ -16,6 +16,13 @@ def _load():
     global _LIB
     if _LIB is None and os.path.exists(_LIB_PATH):
         lib = ctypes.CDLL(_LIB_PATH)
+        lib.bbbp_fingerprints_packed.restype = ctypes.c_int
+        lib.bbbp_fingerprints_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
         lib.bbbp_fingerprints.restype = ctypes.c_int
         lib.bbbp_fingerprints.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),  # smiles array
@@ -54,4 +61,29 @@ def fingerprints(smiles: Sequence[str], kind: str, n_bits: int = 2048,
     )
     if rc != 0:
         raise RuntimeError(f"bbbp_fingerprints failed: rc={rc}")
+    return out, list(np.nonzero(bad)[0])
+
+
+def fingerprints_packed(smiles: Sequence[str], kind: str = "morgan",
+                        n_bits: int = 2048, radius: int = 2,
+                        threads: int = 0) -> Tuple[np.ndarray, List[int]]:
+    """Packed uint32 fingerprints [N, n_bits/32] direct from C++ (no dense
+    intermediate) — the screening fast path."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libbbbpchem.so not built")
+    kind_code = {"morgan": 0, "rdkit": 2}[kind]
+    n = len(smiles)
+    words = n_bits // 32
+    out = np.zeros((n, words), dtype=np.uint32)
+    bad = np.zeros(n, dtype=np.int32)
+    arr = (ctypes.c_char_p * n)(*[s.encode("utf-8") for s in smiles])
+    rc = lib.bbbp_fingerprints_packed(
+        arr, n, kind_code, n_bits, radius,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        bad.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"bbbp_fingerprints_packed failed: rc={rc}")
     return out, list(np.nonzero(bad)[0])

@@ -125,6 +125,25 @@ def _make_device_fn(model: ScreeningModel):
     return run
 
 
+def _make_packed_device_fn(model: ScreeningModel):
+    """Packed-bit path: uint32 words in, Pallas unpack+projection matmul,
+    forest margin, probability — 32× smaller H2D transfers."""
+    from bbbp_tpu.ops.bitops import packed_project, project_weights
+
+    w, c0 = project_weights(model.scaler_mean, model.scaler_scale,
+                            model.pca_mean, model.pca_components)
+    w_d, c0_d = jnp.asarray(w), jnp.asarray(c0)
+    ens = model.ensemble
+    use_pallas = jax.devices()[0].platform not in ("cpu",)
+
+    @jax.jit
+    def run(packed_chunk):
+        z = packed_project(packed_chunk, w_d, c0_d, use_pallas=use_pallas)
+        return jax.nn.sigmoid(ens.raw_predict(z))
+
+    return run
+
+
 @dataclass
 class ScreenStats:
     n_molecules: int
@@ -144,7 +163,15 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
            verbose: bool = False) -> ScreenStats:
     """Stream screening with host featurization overlapped against device
     inference (double-buffered producer thread)."""
-    run = _make_device_fn(model)
+    packed_mode = False
+    if model.fp_kind in ("morgan", "rdkit"):
+        try:
+            from bbbp_tpu.native import bindings as nb
+
+            packed_mode = nb.available()
+        except ImportError:
+            packed_mode = False
+    run = _make_packed_device_fn(model) if packed_mode else _make_device_fn(model)
     t_start = time.time()
     feat_time = 0.0
     dev_time = 0.0
@@ -160,11 +187,19 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
             smiles = [c[0] for c in chunk]
             ids = [c[1] for c in chunk]
             t0 = time.time()
-            res = featurize_fp(smiles, kind=model.fp_kind, n_bits=model.n_bits,
-                               workers=workers)
+            if packed_mode:
+                from bbbp_tpu.native import bindings as nb
+
+                feats, bad_list = nb.fingerprints_packed(
+                    smiles, model.fp_kind, model.n_bits)
+                bad_idx = np.asarray(bad_list, dtype=np.int64)
+            else:
+                res = featurize_fp(smiles, kind=model.fp_kind,
+                                   n_bits=model.n_bits, workers=workers)
+                feats, bad_idx = res.features, res.bad_indices
             feat_time += time.time() - t0
-            n_bad += len(res.bad_indices)
-            q.put((smiles, ids, res.features, res.bad_indices))
+            n_bad += len(bad_idx)
+            q.put((smiles, ids, feats, bad_idx))
         q.put(_END)
 
     th = threading.Thread(target=producer, daemon=True)

@@ -83,6 +83,7 @@ def train_multimodal_cv(
     log_every: int = 0,
     n_seeds: int = 1,
     snapshot_from: Optional[int] = None,
+    split_seed: Optional[int] = None,
 ) -> CVResult:
     """Train `model(fp, img, train=)` on all folds at once; return OOF preds.
 
@@ -95,7 +96,7 @@ def train_multimodal_cv(
     snapshots from that epoch onward (cheap SWA-style variance reduction).
     """
     n = len(y)
-    folds = kfold_indices(n, n_folds, seed)
+    folds = kfold_indices(n, n_folds, split_seed if split_seed is not None else seed)
     base_train_idx, s = _padded_train_sets(n, folds)           # [F, S]
     # replicate folds across seeds along the same batched axis
     train_idx = np.concatenate([base_train_idx] * n_seeds, axis=0)  # [K, S]
@@ -124,18 +125,24 @@ def train_multimodal_cv(
     # individually (catastrophic over the axon tunnel — one RPC per op)
     params, batch_stats, opt_state = jax.jit(jax.vmap(init_one))(init_keys)
 
-    def loss_fn(p, bs, fp_b, img_b, y_b, rng):
+    # remat the forward: with folds×seeds batched on one device the CNN
+    # activations dominate HBM; recomputing them in the backward trades ~30%
+    # FLOPs for ~2× peak-memory headroom (jax.checkpoint)
+    @jax.checkpoint
+    def _forward(p, bs, fp_b, img_b, rng):
         variables = {"params": p}
         if bs:
             variables["batch_stats"] = bs
             pred, updates = model.apply(variables, fp_b, img_b, train=True,
                                         rngs={"dropout": rng},
                                         mutable=["batch_stats"])
-            new_bs = updates["batch_stats"]
-        else:
-            pred = model.apply(variables, fp_b, img_b, train=True,
-                               rngs={"dropout": rng})
-            new_bs = bs
+            return pred, updates["batch_stats"]
+        pred = model.apply(variables, fp_b, img_b, train=True,
+                           rngs={"dropout": rng})
+        return pred, bs
+
+    def loss_fn(p, bs, fp_b, img_b, y_b, rng):
+        pred, new_bs = _forward(p, bs, fp_b, img_b, rng)
         return jnp.mean((pred - y_b) ** 2), new_bs
 
     def one_fold_step(carry, idx_b, rng):
@@ -172,8 +179,11 @@ def train_multimodal_cv(
             return model.apply(variables, fp_c, img_c, train=False)
         return jax.vmap(fold_pred)(params, batch_stats)        # [K, C]
 
-    def predict_all(params, batch_stats, chunk: int = 512):
-        """Chunked [K, N] prediction — bounds CNN activation memory."""
+    def predict_all(params, batch_stats, chunk: int = 0):
+        """Chunked [K, N] prediction — bounds CNN activation memory.
+        Chunk adapts to the replica count so K×chunk images stay ~constant."""
+        if chunk <= 0:
+            chunk = max(32, 4096 // k)
         outs = []
         pad = (-n) % chunk
         fp_p = jnp.pad(fp_d, ((0, pad), (0, 0)))

@@ -97,11 +97,20 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     if verbose:
         print(f"[regression] N={n} fp={nn_fp.shape} training NN "
               f"({cfg.n_folds} folds x {cfg.epochs} epochs, all folds batched)...")
-    nn_res = train_multimodal_cv(
-        model, nn_fp, img, y, n_folds=cfg.n_folds, epochs=cfg.epochs,
-        batch_size=cfg.batch_size, lr=cfg.lr, seed=cfg.seed,
-        n_seeds=cfg.nn_seeds, snapshot_from=cfg.snapshot_from,
-        log_every=10 if verbose else 0)
+    # seed replicas run sequentially (fold axis alone already fills the chip;
+    # the jit is compile-cached across replicas) and OOF-average — identical
+    # folds via split_seed
+    nn_res = None
+    oof_acc = None
+    for r in range(max(1, cfg.nn_seeds)):
+        res_r = train_multimodal_cv(
+            model, nn_fp, img, y, n_folds=cfg.n_folds, epochs=cfg.epochs,
+            batch_size=cfg.batch_size, lr=cfg.lr, seed=cfg.seed + 1000 * r,
+            split_seed=cfg.seed, snapshot_from=cfg.snapshot_from,
+            log_every=(10 if verbose and r == 0 else 0))
+        oof_acc = res_r.oof_pred if oof_acc is None else oof_acc + res_r.oof_pred
+        nn_res = res_r
+    nn_res.oof_pred = oof_acc / max(1, cfg.nn_seeds)
 
     folds = nn_res.fold_test_idx
     xt = _tree_features(data)

@@ -19,8 +19,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-FP_KINDS = ("morgan", "maccs", "rdkit")
-FP_SIZES = {"morgan": 2048, "maccs": 167, "rdkit": 2048}
+FP_KINDS = ("morgan", "maccs", "rdkit", "pairs")
+FP_SIZES = {"morgan": 2048, "maccs": 167, "rdkit": 2048, "pairs": 2048}
 
 
 def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
@@ -30,6 +30,7 @@ def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
         morgan_fingerprint,
         maccs_fingerprint,
         path_fingerprint,
+        atom_pair_fingerprint,
     )
 
     dim = 167 if kind == "maccs" else n_bits
@@ -46,6 +47,8 @@ def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
             out[i] = maccs_fingerprint(mol)
         elif kind == "rdkit":
             out[i] = path_fingerprint(mol, n_bits=n_bits)
+        elif kind == "pairs":
+            out[i] = atom_pair_fingerprint(mol, n_bits=n_bits)
         else:
             raise ValueError(f"unknown fingerprint kind {kind!r}")
     return out, bad

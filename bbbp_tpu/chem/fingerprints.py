@@ -203,6 +203,57 @@ def path_fingerprint(mol: Mol, n_bits: int = 2048, min_path: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# Atom-pair fingerprint (beyond-parity: topological-distance information
+# orthogonal to circular/path fingerprints)
+# ---------------------------------------------------------------------------
+
+def _pair_atom_code(mol: Mol, i: int) -> int:
+    """Carhart-style atom code: element, pi-participation, heavy degree."""
+    a = mol.atoms[i]
+    heavy_deg = min(sum(1 for j in mol.atom_neighbors(i) if mol.atoms[j].z > 1), 7)
+    pi = 1 if a.aromatic or any(
+        mol.bonds[bi].order in (BOND_DOUBLE, BOND_TRIPLE, BOND_AROMATIC)
+        for bi in mol.neighbors[i]) else 0
+    return (a.z << 4) | (pi << 3) | heavy_deg
+
+
+def atom_pair_bits(mol: Mol, n_bits: int = 2048, max_dist: int = 30) -> Set[int]:
+    from bbbp_tpu.chem.depict import graph_distances
+
+    n = mol.num_atoms
+    if n < 2:
+        return set()
+    dist = graph_distances(mol)
+    bits: Set[int] = set()
+    codes = [_pair_atom_code(mol, i) for i in range(n)]
+    for i in range(n):
+        if mol.atoms[i].z <= 1:
+            continue
+        for j in range(i + 1, n):
+            if mol.atoms[j].z <= 1:
+                continue
+            d = int(dist[i, j])
+            if d <= 0 or d > max_dist:
+                continue
+            c1, c2 = sorted((codes[i], codes[j]))
+            h = 0x6a09e667f3bcc909
+            h = _mix(h, c1)
+            h = _mix(h, d)
+            h = _mix(h, c2)
+            bits.add(h % n_bits)
+    return bits
+
+
+def atom_pair_fingerprint(mol: Mol, n_bits: int = 2048,
+                          dtype=np.float32) -> np.ndarray:
+    fp = np.zeros(n_bits, dtype=dtype)
+    idx = list(atom_pair_bits(mol, n_bits))
+    if idx:
+        fp[np.asarray(idx, dtype=np.int64)] = 1
+    return fp
+
+
+# ---------------------------------------------------------------------------
 # MACCS-style 167-bit structural keys
 # ---------------------------------------------------------------------------
 

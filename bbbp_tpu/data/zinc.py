@@ -65,8 +65,9 @@ def parse_wget_list(path: str) -> List[str]:
     with open(path) as f:
         for line in f:
             for tok in line.split():
+                tok = tok.strip("\"'")
                 if tok.startswith("http://") or tok.startswith("https://"):
-                    urls.append(tok.strip('"'))
+                    urls.append(tok)
     return urls
 
 

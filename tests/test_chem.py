@@ -175,3 +175,27 @@ class TestBatchFeaturize:
         a = fingerprints(smiles, workers=1, use_native=False).features
         b = fingerprints(smiles, workers=4, use_native=False).features
         assert np.array_equal(a, b)
+
+
+class TestAtomPairs:
+    def test_shape_and_invariance(self):
+        from bbbp_tpu.chem.fingerprints import atom_pair_fingerprint, atom_pair_bits
+
+        m1 = MolFromSmiles("Cc1ccccc1O")
+        m2 = MolFromSmiles("Oc1ccccc1C")
+        assert atom_pair_bits(m1) == atom_pair_bits(m2)
+        fp = atom_pair_fingerprint(m1)
+        assert fp.shape == (2048,) and fp.sum() > 5
+
+    def test_distance_sensitivity(self):
+        from bbbp_tpu.chem.fingerprints import atom_pair_bits
+
+        # para vs ortho dichlorobenzene differ only in Cl-Cl topological distance
+        para = MolFromSmiles("Clc1ccc(Cl)cc1")
+        ortho = MolFromSmiles("Clc1ccccc1Cl")
+        assert atom_pair_bits(para) != atom_pair_bits(ortho)
+
+    def test_single_atom(self):
+        from bbbp_tpu.chem.fingerprints import atom_pair_fingerprint
+
+        assert atom_pair_fingerprint(MolFromSmiles("C")).sum() == 0

@@ -56,22 +56,44 @@ def _packed_project_jnp(packed, w, c0):
 
 def _packed_project_pallas(packed, w, c0, block_rows: int = 256):
     """Pallas TPU kernel: unpack uint32 words → bf16 bits in VMEM → MXU matmul
-    with the folded projection weights; weights stay resident per grid step."""
+    with the folded projection weights; weights stay resident per grid step.
+
+    Tile hygiene for Mosaic: the output/lane dimension is padded to 128, the
+    bias rides as a (1, k_pad) row, and the unpack produces exactly
+    words×32 == d bit columns (weights pre-padded when d is narrower)."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n, words = packed.shape
     d, k = w.shape
+    d_full = words * 32
+    if d < d_full:
+        w = jnp.pad(w, ((0, d_full - d), (0, 0)))
+    k_pad = max(128, (k + 127) // 128 * 128)
+    if k < k_pad:
+        w = jnp.pad(w, ((0, 0), (0, k_pad - k)))
+        c0 = jnp.pad(c0, (0, k_pad - k))
+    c0_2d = c0.reshape(1, k_pad)
+    # pltpu.repeat TILES the word vector ([w0..wW, w0..wW, ...]); lane c of
+    # the unpacked row is then bit (c // words) of word (c % words), i.e.
+    # dense bit (c % words)*32 + c // words — permute the weight rows to match
+    lanes = np.arange(d_full)
+    perm = (lanes % words) * 32 + lanes // words
+    w = w[jnp.asarray(perm), :]
     pad_rows = (-n) % block_rows
     if pad_rows:
         packed = jnp.pad(packed, ((0, pad_rows), (0, 0)))
     n_pad = packed.shape[0]
 
     def kernel(p_ref, w_ref, c0_ref, o_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
         pk = p_ref[:]                                   # [block, words] uint32
-        shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
-        bits = (pk[:, :, None] >> shifts) & jnp.uint32(1)
-        x = bits.reshape(pk.shape[0], words * 32)[:, :d].astype(jnp.bfloat16)
+        # 2-D unpack (Mosaic-friendly, no 3-D intermediates): repeat each word
+        # 32× along lanes, then shift by (lane % 32) and mask the low bit
+        rep = pltpu.repeat(pk, 32, axis=1)              # [block, words*32] tiled
+        lane = jax.lax.broadcasted_iota(jnp.uint32, rep.shape, 1)
+        bits = (rep >> (lane // jnp.uint32(words))) & jnp.uint32(1)
+        x = bits.astype(jnp.int32).astype(jnp.bfloat16)
         o_ref[:] = (
             jnp.dot(x, w_ref[:].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
@@ -83,13 +105,13 @@ def _packed_project_pallas(packed, w, c0, block_rows: int = 256):
         grid=(n_pad // block_rows,),
         in_specs=[
             pl.BlockSpec((block_rows, words), lambda i: (i, 0)),
-            pl.BlockSpec((d, k), lambda i: (0, 0)),
-            pl.BlockSpec((k,), lambda i: (0,)),
+            pl.BlockSpec((d_full, k_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_rows, k), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
-    )(packed, w, c0)
-    return out[:n]
+        out_specs=pl.BlockSpec((block_rows, k_pad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+    )(packed, w, c0_2d)
+    return out[:n, :k]
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))

@@ -46,6 +46,15 @@ class DenseTreeEnsemble:
     tree_scale: float
 
     def raw_predict(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Gather-free routing evaluation (MXU-friendly): one-hot feature
+        selection as a matmul, then level-wise route products — profiling on
+        v5e showed the position-gather traversal 25× slower (gathers over
+        [n, T] dominate); this form is pure matmul + elementwise."""
+        return _dense_predict_route(self.feat, self.thr, self.leaf,
+                                    jnp.asarray(x, jnp.float32), self.depth,
+                                    self.base_score, self.tree_scale)
+
+    def raw_predict_gather(self, x: jnp.ndarray) -> jnp.ndarray:
         return _dense_predict(self.feat, self.thr, self.leaf,
                               jnp.asarray(x, jnp.float32), self.depth,
                               self.base_score, self.tree_scale)
@@ -65,6 +74,44 @@ def _dense_predict(feat, thr, leaf, x, depth, base_score, tree_scale):
         pos = 2 * pos + (xv > t).astype(jnp.int32)
     vals = leaf[t_idx, pos]
     return base_score + tree_scale * jnp.sum(vals, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _dense_predict_route(feat, thr, leaf, x, depth, base_score, tree_scale):
+    """Evaluate every internal node's comparison via one one-hot matmul, then
+    route probabilities down the implicit tree with aligned slices — no
+    gathers anywhere. Row-chunked to bound the [rows, T, 2^D] route tensor."""
+    n, F = x.shape
+    T, n_internal = feat.shape
+    sel = jax.nn.one_hot(feat.reshape(-1), F, dtype=jnp.float32)  # [T*I, F]
+
+    def eval_rows(xr):
+        rows = xr.shape[0]
+        # HIGHEST precision: the default TPU bf16 matmul truncates x, flipping
+        # comparisons for values near thresholds (quantile edges ARE data
+        # values); full-f32 selection keeps parity with the gather traversal
+        xg = jnp.matmul(xr, sel.T,
+                        precision=jax.lax.Precision.HIGHEST
+                        ).reshape(rows, T, n_internal)
+        go_right = (xg > thr[None]).astype(jnp.float32)     # [rows, T, I]
+        route = jnp.ones((rows, T, 1), jnp.float32)
+        off = 0
+        for l in range(depth):
+            width = 1 << l
+            d = go_right[:, :, off:off + width]
+            off += width
+            route = jnp.stack([route * (1 - d), route * d], axis=-1
+                              ).reshape(rows, T, 2 * width)
+        vals = jnp.einsum("ntl,tl->nt", route, leaf)
+        return base_score + tree_scale * jnp.sum(vals, axis=1)
+
+    chunk = 4096
+    if n <= chunk:
+        return eval_rows(x)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    out = jax.lax.map(eval_rows, xp.reshape(-1, chunk, F))
+    return out.reshape(-1)[:n]
 
 
 def _grow_level(pos, flat_bin_keys, g, h, l, F, B, lam, min_child, col_mask,

@@ -212,14 +212,44 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
         writer = csv.writer(fout)
         writer.writerow(["ID", "SMILES", "Prediction", "Probability"])
 
+    pending = []   # (smiles, ids, bad, device_future) — block only at drain
+    def drain(item):
+        nonlocal dev_time
+        smiles, ids, bad, fut = item
+        t0 = time.time()
+        proba = np.asarray(fut)
+        dev_time += time.time() - t0
+        return smiles, ids, proba, bad
+
     while True:
         item = q.get()
         if item is _END:
             break
         smiles, ids, feats, bad = item
         t0 = time.time()
-        proba = np.asarray(run(jnp.asarray(feats)))
+        # pad to the fixed chunk size: ONE compiled executable for all chunks
+        n_real = len(feats)
+        if n_real < chunk_size:
+            feats = np.concatenate(
+                [feats, np.zeros((chunk_size - n_real,) + feats.shape[1:],
+                                 feats.dtype)])
+        fut = run(jnp.asarray(feats))   # async dispatch; don't block here
         dev_time += time.time() - t0
+        pending.append((smiles, ids, bad, fut))
+        if len(pending) < 2:
+            continue
+        smiles, ids, proba, bad = drain(pending.pop(0))
+        n_total += len(smiles)
+        if writer is not None:
+            bad_set = set(int(b) for b in bad)
+            for i, (sid, smi) in enumerate(zip(ids, smiles)):
+                if i in bad_set:
+                    writer.writerow([sid, smi, "invalid", ""])
+                else:
+                    p = float(proba[i])
+                    writer.writerow([sid, smi, int(p > model.threshold), f"{p:.4f}"])
+    for item in pending:
+        smiles, ids, proba, bad = drain(item)
         n_total += len(smiles)
         if writer is not None:
             bad_set = set(int(b) for b in bad)

@@ -46,11 +46,12 @@ def main() -> None:
     smiles = synthetic_smiles(n_mols, seed=7)
     stream = ((s, f"SYN{i:09d}") for i, s in enumerate(smiles))
 
-    # warmup: compile the device path on a small chunk
-    warm = [(s, "w") for s in smiles[:2048]]
-    screen(model, iter(warm), out_csv=None, chunk_size=2048)
+    # warmup at the SAME chunk size: one compiled executable serves every chunk
+    chunk = 16384
+    warm = [(s, "w") for s in smiles[:chunk]]
+    screen(model, iter(warm), out_csv=None, chunk_size=chunk)
 
-    stats = screen(model, stream, out_csv=None, chunk_size=16384)
+    stats = screen(model, stream, out_csv=None, chunk_size=chunk)
     per_chip = stats.mol_per_s / max(n_chips, 1)
     baseline = 1_000_000.0 / 3600.0 / 8.0  # 34.72 mol/s/chip on v5e-8
 

@@ -133,15 +133,26 @@ def tree_shap_values(tree, x: np.ndarray) -> np.ndarray:
 
 def forest_shap_values(estimator, x: np.ndarray,
                        max_samples: Optional[int] = 200,
-                       seed: int = 0) -> np.ndarray:
+                       seed: int = 0,
+                       background: Optional[np.ndarray] = None) -> np.ndarray:
     """SHAP values for a fitted forest estimator (sum over trees × scale).
-    Additivity: base_score + tree_scale·Σ tree-values + Σ phi = prediction."""
+    Additivity: base_score + tree_scale·Σ tree-values + Σ phi = prediction.
+
+    Works for both the host trainer (training-hessian cover) and the TPU
+    dense-layout trainer (cover from ``background``, defaulting to x)."""
     x = np.asarray(x, dtype=np.float32)
     if max_samples is not None and len(x) > max_samples:
         idx = np.random.default_rng(seed).choice(len(x), max_samples, replace=False)
         x = x[idx]
+    if hasattr(estimator, "_host_trees"):
+        trees = estimator._host_trees
+    else:
+        from bbbp_tpu.ops.forest_tpu import dense_to_tree_arrays
+
+        trees = dense_to_tree_arrays(estimator.ensemble_,
+                                     x if background is None else background)
     phi = np.zeros((len(x), x.shape[1]), dtype=np.float64)
-    for tree in estimator._host_trees:
+    for tree in trees:
         phi += tree_shap_values(tree, x)
     return phi * estimator.ensemble_.tree_scale
 

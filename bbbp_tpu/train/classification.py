@@ -54,6 +54,8 @@ class ClassificationTrainConfig:
     stack_folds: int = 5
     seed: int = 42
     workers: Optional[int] = None
+    out_dir: Optional[str] = None
+    resampler: str = "smotetomek"   # smotetomek | smote | none (A4/A6 variants)
     models: Tuple[str, ...] = (
         "knn", "logreg", "svc", "bnb", "dt", "rf", "gb", "mlp", "xgb", "cat")
 
@@ -109,9 +111,18 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
     x = np.asarray(StandardScaler().fit_transform(x))
     x = np.asarray(PCA(cfg.pca_dim).fit_transform(x))
 
+    def _resample(xx, yy):
+        if cfg.resampler == "smotetomek":
+            return smote_tomek(xx, yy, seed=cfg.seed)
+        if cfg.resampler == "smote":
+            from bbbp_tpu.ops.resample import smote
+
+            return smote(xx, yy, seed=cfg.seed)
+        return xx, yy
+
     if cfg.protocol == "reference":
         # resample everything, then split (reference :393-402)
-        xr, yr = smote_tomek(x, y, seed=cfg.seed)
+        xr, yr = _resample(x, y)
         perm = rng.permutation(len(yr))
         n_test = int(len(yr) * cfg.test_size)
         te, tr = perm[:n_test], perm[n_test:]
@@ -121,7 +132,7 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
         n_test = int(len(y) * cfg.test_size)
         te, tr = perm[:n_test], perm[n_test:]
         x_te, y_te = x[te], y[te]
-        x_tr, y_tr = smote_tomek(x[tr], y[tr], seed=cfg.seed)
+        x_tr, y_tr = _resample(x[tr], y[tr])
 
     zoo = default_zoo(cfg.seed)
     names = [m for m in cfg.models if m in zoo]
@@ -185,6 +196,39 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
         for m, r in report.items():
             print(f"[classification] {m:9s} acc={r['accuracy']:.4f} "
                   f"f1={r['f1']:.4f} mcc={r['mcc']:.4f} auc={r['roc_auc']:.4f}")
+    if cfg.out_dir:
+        import os
+        import pickle
+
+        from bbbp_tpu.reporting.metrics_io import write_metrics_csv
+        from bbbp_tpu.reporting import plots
+
+        d = cfg.out_dir
+        os.makedirs(d, exist_ok=True)
+        write_metrics_csv(os.path.join(
+            d, f"model_performance_metrics_{cfg.fp_kind}.csv"), report)
+        plots.performance_bar_plot(report, os.path.join(
+            d, f"performance_{cfg.fp_kind}.png"))
+        plots.confusion_matrix_plot(
+            y_te, (test_proba["stacking"] > 0.5).astype(int),
+            os.path.join(d, "confusion_stacking.png"))
+        for m in ("rf", "gb", "xgb", "cat"):
+            if m in fitted:
+                try:
+                    from bbbp_tpu.reporting.attribution import forest_shap_values
+                    from bbbp_tpu.reporting.plots import shap_summary_plot
+
+                    idx = np.random.default_rng(0).choice(
+                        len(x_te), min(150, len(x_te)), replace=False)
+                    phi = forest_shap_values(fitted[m], x_te[idx],
+                                             max_samples=None)
+                    shap_summary_plot(phi, x_te[idx],
+                                      os.path.join(d, f"shap_{m}.png"))
+                except Exception:
+                    pass
+                break  # one SHAP plot is enough per run
+        with open(os.path.join(d, "fitted_models.pkl"), "wb") as f:
+            pickle.dump(fitted, f)
     return ClassificationRunResult(report, y_te, test_proba, time.time() - t0)
 
 
@@ -195,9 +239,13 @@ def main():
     ap.add_argument("--pca-dim", type=int, default=30)
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--resampler", default="smotetomek",
+                    choices=["smotetomek", "smote", "none"])
     args = ap.parse_args()
     cfg = ClassificationTrainConfig(fp_kind=args.fp_kind, protocol=args.protocol,
-                                    pca_dim=args.pca_dim, workers=args.workers)
+                                    pca_dim=args.pca_dim, workers=args.workers,
+                                    out_dir=args.out_dir, resampler=args.resampler)
     res = run_classification(cfg)
     print(json.dumps(res.report, indent=2))
     if args.out:

@@ -56,6 +56,7 @@ class RegressionTrainConfig:
     cat_depth: int = 6
     meta: str = "linear"          # linear | ridge
     extra_legs: bool = True       # + kNN and ridge OOF legs (B9-style pool)
+    out_dir: Optional[str] = None  # write plots/CSVs/model artifacts here
     image_size: int = 128
     compat_batch: Optional[int] = None
     workers: Optional[int] = None
@@ -150,7 +151,36 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     if verbose:
         for k, r in report.items():
             print(f"[regression] {k:8s} R2={r['r2']:.4f} MSE={r['mse']:.4f}")
+    if cfg.out_dir:
+        _write_artifacts(cfg, data, nn_res, oof, stacked, y, report)
     return RegressionRunResult(oof, stacked, y, report, time.time() - t0)
+
+
+def _write_artifacts(cfg, data, nn_res, oof, stacked, y, report):
+    """The reference's artifact set (SURVEY §2.8 S2): metrics CSV, loss curves,
+    pred-vs-actual scatter with metrics in the filename, distribution plot,
+    NN checkpoint, stacking meta weights."""
+    import os
+    import pickle
+
+    from bbbp_tpu.reporting.metrics_io import write_metrics_csv
+    from bbbp_tpu.reporting import plots
+    from bbbp_tpu.utils.checkpoint import save_checkpoint
+
+    d = cfg.out_dir
+    os.makedirs(d, exist_ok=True)
+    write_metrics_csv(os.path.join(d, "regression_metrics.csv"), report)
+    plots.loss_curve_plot(nn_res.train_losses, os.path.join(d, "nn_loss_curves.png"))
+    r2, mse = report["stacked"]["r2"], report["stacked"]["mse"]
+    plots.pred_vs_actual_plot(
+        y, stacked,
+        os.path.join(d, f"stacked_predict_r2_{r2:.4f}_MSE_{mse:.4f}.png"),
+        r2=r2, mse=mse)
+    plots.distribution_plot(y, stacked, os.path.join(d, "prediction_distribution.png"))
+    with open(os.path.join(d, "oof_predictions.pkl"), "wb") as f:
+        pickle.dump({"y": y, **oof, "stacked": stacked}, f)
+    save_checkpoint(os.path.join(d, "nn_checkpoint"),
+                    {"params": nn_res.params, "batch_stats": nn_res.batch_stats})
 
 
 def main():
@@ -164,11 +194,12 @@ def main():
     ap.add_argument("--meta", default="linear", choices=["linear", "ridge"])
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--out", default=None, help="write metrics JSON here")
+    ap.add_argument("--out-dir", default=None, help="write plots/models here")
     args = ap.parse_args()
     cfg = RegressionTrainConfig(fp_kind=args.fp_kind, n_folds=args.folds,
                                 epochs=args.epochs, lr=args.lr,
                                 fusion=args.fusion, meta=args.meta,
-                                workers=args.workers)
+                                out_dir=args.out_dir, workers=args.workers)
     res = run_regression(cfg)
     print(json.dumps({k: v for k, v in res.report.items()}, indent=2))
     if args.out:

@@ -125,6 +125,34 @@ def train_multimodal_cv(
     # individually (catastrophic over the axon tunnel — one RPC per op)
     params, batch_stats, opt_state = jax.jit(jax.vmap(init_one))(init_keys)
 
+    # mesh mode: the fold×seed axis shards over 'data' — each device trains
+    # its own folds; full feature tensors replicate (they're small); XLA
+    # propagates the shardings through the vmapped epoch with zero collectives
+    fold_sharding = None
+    if mesh is not None and k % mesh.shape["data"] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fold_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+
+        def shard_leading(tree):
+            return jax.tree.map(
+                lambda l: jax.device_put(
+                    l, NamedSharding(mesh, P("data", *([None] * (l.ndim - 1))))),
+                tree)
+
+        params = shard_leading(params)
+        batch_stats = shard_leading(batch_stats)
+        opt_state = jax.tree.map(
+            lambda l: jax.device_put(
+                l, NamedSharding(mesh, P("data", *([None] * (l.ndim - 1)))))
+            if hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == k
+            else jax.device_put(l, repl),
+            opt_state)
+        fp_d = jax.device_put(fp_d, repl)
+        img_d = jax.device_put(img_d, repl)
+        y_d = jax.device_put(y_d, repl)
+
     # remat the forward: with folds×seeds batched on one device the CNN
     # activations dominate HBM; recomputing them in the backward trades ~30%
     # FLOPs for ~2× peak-memory headroom (jax.checkpoint)
@@ -206,8 +234,14 @@ def train_multimodal_cv(
         ]).reshape(k, steps, batch_size)
         step_rng, sub = jax.random.split(step_rng)
         rngs = jax.random.split(sub, k * steps).reshape(k, steps, -1)
+        perms_d = jnp.asarray(perms)
+        if fold_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            perms_d = jax.device_put(perms_d, NamedSharding(mesh, P("data", None, None)))
+            rngs = jax.device_put(rngs, NamedSharding(mesh, P("data", None, None)))
         params, batch_stats, opt_state, mean_loss = train_epoch(
-            params, batch_stats, opt_state, jnp.asarray(perms), rngs)
+            params, batch_stats, opt_state, perms_d, rngs)
         losses_hist[:, epoch] = np.asarray(mean_loss)
         if snapshot_from is not None and epoch + 1 >= snapshot_from:
             snap_sum += np.asarray(predict_all(params, batch_stats),

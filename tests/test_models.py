@@ -128,3 +128,23 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert out.shape == (8,)
         g.dryrun_multichip(8)
+
+
+class TestMeshTraining:
+    def test_fold_axis_shards_over_mesh(self):
+        from bbbp_tpu.models import MultiModalRegressor
+        from bbbp_tpu.parallel import make_mesh
+        from bbbp_tpu.train.loop import train_multimodal_cv
+
+        mesh = make_mesh()  # 8 virtual CPU devices, data axis = 8
+        N = 64
+        fp = rng.standard_normal((N, 8)).astype(np.float32)
+        img = rng.standard_normal((N, 8, 8, 3)).astype(np.float32)
+        y = (fp[:, 0]).astype(np.float32)
+        m = MultiModalRegressor(fp_dim=8, n_layers=1, emb_dim=8, head_dims=(8,))
+        res = train_multimodal_cv(m, fp, img, y, n_folds=8, epochs=3,
+                                  batch_size=8, lr=1e-3, seed=0, mesh=mesh)
+        assert np.isfinite(res.oof_pred).all()
+        # params actually distributed: one leaf spans all 8 devices
+        leaf = jax.tree.leaves(res.params)[0]
+        assert len(leaf.sharding.device_set) == 8

@@ -99,7 +99,7 @@ def fingerprints(smiles: Sequence[str], kind: str = "morgan", n_bits: int = 2048
     if not smiles:
         dim = 167 if kind == "maccs" else n_bits
         return FeaturizeResult(np.zeros((0, dim), dtype=np.float32))
-    if use_native and kind in ("morgan", "rdkit"):
+    if use_native and kind in ("morgan", "rdkit", "maccs"):
         try:
             from bbbp_tpu.native import bindings as nb
 

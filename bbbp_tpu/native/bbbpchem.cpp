@@ -723,6 +723,314 @@ static void path_bits_dfs(const Mol& m, int min_path, int max_path, int n_bits,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// structural keys (mirrors chem/structural_keys.py index-for-index)
+// ---------------------------------------------------------------------------
+namespace keys {
+
+static int count_z(const Mol& m, std::initializer_list<int> zs) {
+  int c = 0;
+  for (auto& a : m.atoms)
+    for (int z : zs) if (a.z == z) { c++; break; }
+  return c;
+}
+
+static int count_bond(const Mol& m, int z1, int z2, int order) {
+  int lo = std::min(z1, z2), hi = std::max(z1, z2), c = 0;
+  for (auto& b : m.bonds) {
+    int a = m.atoms[b.a1].z, d = m.atoms[b.a2].z;
+    if (std::min(a, d) == lo && std::max(a, d) == hi && b.order == order) c++;
+  }
+  return c;
+}
+
+static int count_motif3(const Mol& m, int zc, int za, int oa, int zb, int ob) {
+  int c = 0;
+  for (size_t i = 0; i < m.atoms.size(); i++) {
+    if (m.atoms[i].z != zc) continue;
+    for (int ba : m.nbr[i]) {
+      const Bond& b1 = m.bonds[ba];
+      if (m.atoms[b1.other((int)i)].z != za || b1.order != oa) continue;
+      bool found = false;
+      for (int bb : m.nbr[i]) {
+        if (bb == ba) continue;
+        const Bond& b2 = m.bonds[bb];
+        if (m.atoms[b2.other((int)i)].z == zb && b2.order == ob) { found = true; break; }
+      }
+      if (found) { c++; break; }  // python for/else: break ONLY on success,
+                                  // otherwise try the next za-arm
+    }
+  }
+  return c;
+}
+
+static int ring_size_count(const Mol& m, int size) {
+  int c = 0;
+  for (auto& r : m.rings) if ((int)r.size() == size) c++;
+  return c;
+}
+
+static int aromatic_ring_count(const Mol& m) {
+  int c = 0;
+  for (auto& r : m.rings) {
+    bool all = true;
+    for (int i : r) if (!m.atoms[i].aromatic) { all = false; break; }
+    if (all) c++;
+  }
+  return c;
+}
+
+static int hetero_ring_count(const Mol& m) {
+  int c = 0;
+  for (auto& r : m.rings) {
+    bool het = false;
+    for (int i : r) if (m.atoms[i].z != 6) { het = true; break; }
+    if (het) c++;
+  }
+  return c;
+}
+
+static int fused_ring_pairs(const Mol& m) {
+  int c = 0;
+  for (size_t i = 0; i < m.rings.size(); i++) {
+    std::set<int> si(m.rings[i].begin(), m.rings[i].end());
+    for (size_t j = i + 1; j < m.rings.size(); j++) {
+      int shared = 0;
+      for (int a : m.rings[j]) if (si.count(a)) shared++;
+      if (shared >= 2) c++;
+    }
+  }
+  return c;
+}
+
+static int donor_count(const Mol& m) {
+  int c = 0;
+  for (size_t i = 0; i < m.atoms.size(); i++)
+    if ((m.atoms[i].z == 7 || m.atoms[i].z == 8) && m.total_h((int)i) > 0) c++;
+  return c;
+}
+
+static int acceptor_count(const Mol& m) {
+  int c = 0;
+  for (auto& a : m.atoms)
+    if ((a.z == 7 || a.z == 8) && a.charge <= 0) c++;
+  return c;
+}
+
+static int heavy_degree(const Mol& m, int i) {
+  int d = 0;
+  for (int bi : m.nbr[i]) if (m.atoms[m.bonds[bi].other(i)].z > 1) d++;
+  return d;
+}
+
+static int rotatable_count(const Mol& m) {
+  int c = 0;
+  for (auto& b : m.bonds) {
+    if (b.order != BOND_SINGLE || b.in_ring) continue;
+    if (heavy_degree(m, b.a1) > 1 && heavy_degree(m, b.a2) > 1) c++;
+  }
+  return c;
+}
+
+static int quaternary_c(const Mol& m) {
+  int c = 0;
+  for (size_t i = 0; i < m.atoms.size(); i++)
+    if (m.atoms[i].z == 6 && heavy_degree(m, (int)i) >= 4) c++;
+  return c;
+}
+
+static int aromatic_z(const Mol& m, int z) {
+  int c = 0;
+  for (auto& a : m.atoms) if (a.z == z && a.aromatic) c++;
+  return c;
+}
+
+static int in_ring_z(const Mol& m, int z) {
+  int c = 0;
+  for (auto& a : m.atoms) if (a.z == z && a.in_ring) c++;
+  return c;
+}
+
+static int methyl_count(const Mol& m) {
+  int c = 0;
+  for (size_t i = 0; i < m.atoms.size(); i++)
+    if (m.atoms[i].z == 6 && m.total_h((int)i) >= 3) c++;
+  return c;
+}
+
+static int heavy_atom_count(const Mol& m) {
+  int c = 0;
+  for (auto& a : m.atoms) if (a.z > 1) c++;
+  return c;
+}
+
+static int aromatic_all_ring_count(const Mol& m, int size) {
+  int c = 0;
+  for (auto& r : m.rings) {
+    if ((int)r.size() != size) continue;
+    bool all = true;
+    for (int i : r) if (!m.atoms[i].aromatic) { all = false; break; }
+    if (all) c++;
+  }
+  return c;
+}
+
+static void compute(const Mol& m, float* out /* [167] */) {
+  for (int i = 0; i < 167; i++) out[i] = 0.0f;
+  int k = 1;
+  auto put = [&](int v) { out[k++] = v != 0 ? 1.0f : 0.0f; };
+  auto ge = [&](int v, int t) { out[k++] = v >= t ? 1.0f : 0.0f; };
+
+  // element presence / thresholds
+  for (int z : {3, 5, 14, 15, 16, 34, 33, 52}) put(count_z(m, {z}));
+  put(count_z(m, {3,4,11,12,13,19,20,26,27,28,29,30,47,48,50,78,79,80,82,83}));
+  struct ZT { int z; std::vector<int> ts; };
+  for (auto& zt : std::vector<ZT>{{7,{1,2,3,4}},{8,{1,2,3,4,5}},{16,{2,3}},
+                                  {9,{1,2}},{17,{1,2}},{35,{1}},{53,{1}}})
+    for (int t : zt.ts) ge(count_z(m, {zt.z}), t);
+  int hal = count_z(m, {9,17,35,53});
+  put(hal); ge(hal, 2); ge(hal, 3);
+  int no = count_z(m, {7,8});
+  ge(no, 3); ge(no, 5); ge(no, 7);
+  int heavy = heavy_atom_count(m);
+  ge(heavy, 10); ge(heavy, 20); ge(heavy, 30); ge(heavy, 40);
+
+  // charges
+  int pos = 0, neg = 0, tot = 0;
+  for (auto& a : m.atoms) { if (a.charge > 0) pos++; if (a.charge < 0) neg++; tot += a.charge; }
+  put(pos); put(neg); put(pos + neg); put(tot != 0 ? 1 : 0);
+
+  // ring topology
+  for (int size : {3,4,5,6,7,8}) { int c = ring_size_count(m, size); put(c); ge(c, 2); }
+  int nr = (int)m.rings.size();
+  put(nr); ge(nr, 2); ge(nr, 3); ge(nr, 4);
+  int ar = aromatic_ring_count(m);
+  put(ar); ge(ar, 2); ge(ar, 3);
+  int hr = hetero_ring_count(m);
+  put(hr); ge(hr, 2);
+  int fp = fused_ring_pairs(m);
+  put(fp); ge(fp, 2);
+  int nring = in_ring_z(m, 7);
+  put(nring); ge(nring, 2);
+  put(in_ring_z(m, 8)); put(in_ring_z(m, 16));
+  int an = aromatic_z(m, 7);
+  put(an); ge(an, 2);
+  put(aromatic_z(m, 8)); put(aromatic_z(m, 16));
+
+  // bonded pairs
+  const int S = BOND_SINGLE, D = BOND_DOUBLE, T = BOND_TRIPLE, A = BOND_AROMATIC;
+  int pair_specs[][3] = {
+      {6,6,D},{6,6,T},{6,7,S},{6,7,D},{6,7,T},{6,8,S},{6,8,D},{7,7,S},{7,7,D},
+      {7,8,S},{7,8,D},{8,8,S},{6,16,S},{6,16,D},{16,8,D},{16,8,S},{16,16,S},
+      {6,9,S},{6,17,S},{6,35,S},{6,53,S},{6,15,S},{15,8,D},{15,8,S},{7,16,S},
+      {7,15,S},{16,7,D},{6,6,A},{6,7,A},{6,8,A},{6,16,A},{7,7,A}};
+  for (auto& ps : pair_specs) put(count_bond(m, ps[0], ps[1], ps[2]));
+  ge(count_bond(m, 6, 8, D), 2);
+  ge(count_bond(m, 6, 7, S), 2);
+  ge(count_bond(m, 6, 8, S), 2);
+  ge(count_bond(m, 16, 8, D), 2);
+  ge(count_bond(m, 6, 6, D), 2);
+  ge(count_bond(m, 6, 6, A), 7);
+  ge(count_bond(m, 6, 6, A), 12);
+  put(count_bond(m, 7, 8, D) && count_z(m, {7}));
+
+  // three-atom motifs
+  int motif_specs[][5] = {
+      {6,7,S,8,D},{6,8,S,8,D},{6,7,S,7,S},{6,8,S,8,S},{6,7,D,7,S},{7,8,D,8,D},
+      {16,8,D,8,D},{16,7,S,8,D},{6,6,D,8,S},{6,6,D,7,S},{6,16,S,16,S},
+      {7,6,S,6,S},{8,6,S,6,S},{15,8,D,8,S},{6,9,S,9,S},{6,17,S,17,S}};
+  for (auto& ms : motif_specs)
+    put(count_motif3(m, ms[0], ms[1], ms[2], ms[3], ms[4]));
+  // CF3: motif(C,F,F) AND a carbon with >=3 F neighbors
+  {
+    int cf2 = count_motif3(m, 6, 9, S, 9, S);
+    int cf3 = 0;
+    for (size_t i = 0; i < m.atoms.size(); i++) {
+      if (m.atoms[i].z != 6) continue;
+      int nf = 0;
+      for (int bi : m.nbr[i]) if (m.atoms[m.bonds[bi].other((int)i)].z == 9) nf++;
+      if (nf >= 3) cf3++;
+    }
+    put(cf2 && cf3);
+  }
+  ge(count_motif3(m, 6, 7, S, 8, D), 2);
+  ge(count_motif3(m, 6, 8, S, 8, D), 2);
+  // H patterns
+  {
+    int oh = 0, sh = 0, nh2 = 0, nh1 = 0, n0 = 0;
+    for (size_t i = 0; i < m.atoms.size(); i++) {
+      const Atom& a = m.atoms[i];
+      int h = m.total_h((int)i);
+      if (a.z == 8 && h >= 1 && !a.aromatic) oh++;
+      if (a.z == 16 && h >= 1) sh++;
+      if (a.z == 7 && h >= 2) nh2++;
+      if (a.z == 7 && h == 1) nh1++;
+      if (a.z == 7 && h == 0 && !a.aromatic) n0++;
+    }
+    put(oh); put(sh); put(nh2); put(nh1); put(n0);
+  }
+
+  // global thresholds
+  int dc = donor_count(m);
+  put(dc); ge(dc, 2); ge(dc, 4);
+  int ac = acceptor_count(m);
+  put(ac); ge(ac, 4); ge(ac, 7);
+  int rc = rotatable_count(m);
+  put(rc); ge(rc, 3); ge(rc, 6); ge(rc, 9);
+  put(quaternary_c(m));
+  int mc = methyl_count(m);
+  put(mc); ge(mc, 2); ge(mc, 3);
+  {
+    int triple = 0, iso = 0, chi = 0, stereo = 0, big = 0;
+    for (auto& b : m.bonds) { if (b.order == T) triple++; if (b.stereo) stereo = 1; }
+    for (auto& a : m.atoms) { if (a.isotope) iso++; if (a.chirality) chi++; }
+    for (auto& r : m.rings) if ((int)r.size() >= 9) big++;
+    put(triple); put(iso); put(chi); ge(chi, 2); put(stereo); put(big);
+  }
+
+  // supplemental
+  {
+    int carom = aromatic_z(m, 6);
+    put(carom); ge(carom, 10);
+    int c_acyc_nonarom = 0, c_acyc = 0;
+    for (auto& a : m.atoms) {
+      if (a.z != 6) continue;
+      if (!a.in_ring) { c_acyc++; if (!a.aromatic) c_acyc_nonarom++; }
+    }
+    put(c_acyc_nonarom); ge(c_acyc, 6);
+    int d_exo = 0, d_all = 0;
+    for (auto& b : m.bonds) {
+      if (b.order == D) { d_all++; if (!b.in_ring) d_exo++; }
+    }
+    put(d_exo); ge(d_all, 3);
+    int phenol = 0, aniline = 0;
+    for (size_t i = 0; i < m.atoms.size(); i++) {
+      const Atom& a = m.atoms[i];
+      bool arom_nbr = false;
+      for (int bi : m.nbr[i])
+        if (m.atoms[m.bonds[bi].other((int)i)].aromatic) { arom_nbr = true; break; }
+      if (a.z == 8 && m.total_h((int)i) >= 1 && arom_nbr) phenol++;
+      if (a.z == 7 && arom_nbr && !a.aromatic) aniline++;
+    }
+    put(phenol); put(aniline);
+    put(aromatic_all_ring_count(m, 5));
+    put(aromatic_all_ring_count(m, 6));
+    int satcarb = 0;
+    for (auto& r : m.rings) {
+      bool all_c = true, all_arom = true;
+      for (int i : r) {
+        if (m.atoms[i].z != 6) all_c = false;
+        if (!m.atoms[i].aromatic) all_arom = false;
+      }
+      if (all_c && !all_arom) satcarb++;
+    }
+    put(satcarb);
+  }
+}
+
+}  // namespace keys
+
 }  // namespace
 
 extern "C" int bbbp_fingerprints_packed(const char** smiles, int n, int kind,
@@ -765,8 +1073,8 @@ extern "C" int bbbp_fingerprints_packed(const char** smiles, int n, int kind,
 extern "C" int bbbp_fingerprints(const char** smiles, int n, int kind,
                                  int n_bits, int radius, float* out,
                                  int32_t* bad, int threads) {
-  if (kind != 0 && kind != 2) return 2;  // maccs handled in Python for now
-  int dim = n_bits;
+  if (kind != 0 && kind != 1 && kind != 2) return 2;
+  int dim = (kind == 1) ? 167 : n_bits;
   if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
   threads = std::max(1, std::min(threads, 64));
   std::atomic<int> next(0);
@@ -786,10 +1094,14 @@ extern "C" int bbbp_fingerprints(const char** smiles, int n, int kind,
       try { ok = parse_smiles(s, &mol); } catch (...) { ok = false; }
       if (!ok) { bad[i] = 1; continue; }
       bad[i] = 0;
+      float* row = out + (size_t)i * dim;
+      if (kind == 1) {
+        keys::compute(mol, row);
+        continue;
+      }
       std::set<uint64_t> bits;
       if (kind == 0) morgan_bits(mol, radius, n_bits, &bits);
       else path_bits_dfs(mol, 1, 7, n_bits, 2, &bits);
-      float* row = out + (size_t)i * dim;
       for (uint64_t b : bits) row[b] = 1.0f;
     }
   };

@@ -85,3 +85,18 @@ class TestZinc:
         mols = synthetic_smiles(100, seed=3)
         assert len(mols) == 100
         assert all(MolFromSmiles(s) is not None for s in mols)
+
+
+class TestNativeMaccs:
+    def test_native_maccs_matches_python(self):
+        from bbbp_tpu.native import bindings as nb
+        from bbbp_tpu.chem.featurize import fingerprints
+
+        if not nb.available():
+            pytest.skip("native lib not built")
+        smiles = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+                  "Cn1cnc2c1c(=O)n(C)c(=O)n2C", "C[N+](C)(C)C.[Cl-]"]
+        py = fingerprints(smiles, kind="maccs", workers=1,
+                          use_native=False).features
+        nat, bad = nb.fingerprints(smiles, "maccs")
+        assert np.array_equal(py, nat) and bad == []

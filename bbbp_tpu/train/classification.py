@@ -48,7 +48,8 @@ from bbbp_tpu.train.loop import kfold_indices
 @dataclass
 class ClassificationTrainConfig:
     fp_kind: str = "maccs"
-    pca_dim: int = 30
+    pca_dim: float = 30              # int dims, or a (0,1) variance fraction
+                                     # like the A4 variant's PCA(0.95)
     test_size: float = 0.2
     protocol: str = "reference"     # reference | honest
     stack_folds: int = 5
@@ -109,7 +110,8 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
     rng = np.random.default_rng(cfg.seed)
 
     x = np.asarray(StandardScaler().fit_transform(x))
-    x = np.asarray(PCA(cfg.pca_dim).fit_transform(x))
+    k = cfg.pca_dim if (isinstance(cfg.pca_dim, float) and 0 < cfg.pca_dim < 1)         else int(cfg.pca_dim)
+    x = np.asarray(PCA(k).fit_transform(x))
 
     def _resample(xx, yy):
         if cfg.resampler == "smotetomek":

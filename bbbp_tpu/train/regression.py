@@ -42,6 +42,7 @@ class RegressionTrainConfig:
     n_layers: int = 4
     fusion: str = "multihead"
     fp_tokens: int = 1
+    nn_input: str = "norm"       # norm | pca — B8's PCA-compressed variant
     nn_seeds: int = 3            # deep-ensemble width on the batched fold axis
     snapshot_from: Optional[int] = 30   # SWA-style epoch snapshot averaging
     seed: int = 42
@@ -91,7 +92,8 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     y = data.y
     img = data.img_norm.reshape(n, cfg.image_size, cfg.image_size, 3)
 
-    nn_fp = data.nn_fp_features()
+    nn_fp = (np.concatenate([data.fp_pca, data.img_pca], axis=1).astype(np.float32)
+             if cfg.nn_input == "pca" else data.nn_fp_features())
     model = MultiModalRegressor(
         fp_dim=nn_fp.shape[1], n_layers=cfg.n_layers,
         fusion=cfg.fusion, fp_tokens=cfg.fp_tokens)

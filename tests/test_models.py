@@ -148,3 +148,40 @@ class TestMeshTraining:
         # params actually distributed: one leaf spans all 8 devices
         leaf = jax.tree.leaves(res.params)[0]
         assert len(leaf.sharding.device_set) == 8
+
+
+class TestGNN:
+    def test_gcn_learns_ring_count(self):
+        from bbbp_tpu.chem.graph_features import graph_features
+        from bbbp_tpu.models.gnn import GCNRegressor
+        import optax
+
+        smiles = (["c1ccccc1", "CCCCCC", "c1ccncc1", "CCOCC", "c1ccc2ccccc2c1",
+                   "CCCCCCCC", "c1ccoc1", "CCNCC"] * 8)
+        y = np.array([1, 0, 1, 0, 2, 0, 1, 0] * 8, dtype=np.float32)
+        feats, adj, mask, bad = graph_features(smiles, max_atoms=16)
+        assert bad == []
+        model = GCNRegressor(hidden=(32, 32), head=(32,))
+        rngk = jax.random.PRNGKey(0)
+        v = model.init({"params": rngk, "dropout": rngk},
+                       feats[:2], adj[:2], mask[:2], train=True)
+        tx = optax.adam(3e-3)
+        opt = tx.init(v["params"])
+
+        @jax.jit
+        def step(p, opt, f, a, m, yy, key):
+            def loss(p):
+                pred = model.apply({"params": p}, f, a, m, train=True,
+                                   rngs={"dropout": key})
+                return jnp.mean((pred - yy) ** 2)
+            l, g = jax.value_and_grad(loss)(p)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(p, up), opt, l
+
+        p = v["params"]
+        key = rngk
+        for i in range(150):
+            key, sub = jax.random.split(key)
+            p, opt, l = step(p, opt, jnp.asarray(feats), jnp.asarray(adj),
+                             jnp.asarray(mask), jnp.asarray(y), sub)
+        assert float(l) < 0.1, float(l)

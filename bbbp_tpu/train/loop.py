@@ -68,10 +68,9 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5,
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
-def train_multimodal_cv(
+def train_cv(
     model,
-    fp: np.ndarray,
-    img: np.ndarray,
+    inputs,
     y: np.ndarray,
     n_folds: int = 10,
     epochs: int = 50,
@@ -85,9 +84,10 @@ def train_multimodal_cv(
     snapshot_from: Optional[int] = None,
     split_seed: Optional[int] = None,
 ) -> CVResult:
-    """Train `model(fp, img, train=)` on all folds at once; return OOF preds.
+    """Train `model(*inputs, train=)` on all folds at once; return OOF preds.
 
-    fp: [N, d] float32; img: [N, H, W, 3] or [N, H*W*3]; y: [N] float32.
+    inputs: tuple of [N, ...] arrays (e.g. (fp, img) for the multimodal model,
+    (feats, adj, mask) for the GCN); y: [N] float32.
 
     TPU-first extras over the reference's loop: ``n_seeds`` replicates every
     fold with independent inits on the same batched axis (K = folds × seeds in
@@ -103,20 +103,20 @@ def train_multimodal_cv(
     k = n_folds * n_seeds
     steps = s // batch_size
 
-    fp_d = jnp.asarray(fp, jnp.float32)
-    img_d = jnp.asarray(img, jnp.bfloat16)
+    inputs_d = tuple(
+        jnp.asarray(a, jnp.bfloat16 if a.ndim >= 3 else jnp.float32)
+        for a in inputs)
     y_d = jnp.asarray(y, jnp.float32)
 
     tx = make_optimizer(lr, weight_decay)
     root = jax.random.PRNGKey(seed)
     init_keys = jax.random.split(root, k)
 
-    sample_fp = fp_d[:2]
-    sample_img = img_d[:2]
+    samples = tuple(a[:2] for a in inputs_d)
 
     def init_one(key):
         variables = model.init({"params": key, "dropout": key},
-                               sample_fp, sample_img, train=True)
+                               *samples, train=True)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict({}))
         return params, batch_stats, tx.init(params)
@@ -149,37 +149,35 @@ def train_multimodal_cv(
             if hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == k
             else jax.device_put(l, repl),
             opt_state)
-        fp_d = jax.device_put(fp_d, repl)
-        img_d = jax.device_put(img_d, repl)
+        inputs_d = tuple(jax.device_put(a, repl) for a in inputs_d)
         y_d = jax.device_put(y_d, repl)
 
     # remat the forward: with folds×seeds batched on one device the CNN
     # activations dominate HBM; recomputing them in the backward trades ~30%
     # FLOPs for ~2× peak-memory headroom (jax.checkpoint)
     @jax.checkpoint
-    def _forward(p, bs, fp_b, img_b, rng):
+    def _forward(p, bs, batch, rng):
         variables = {"params": p}
         if bs:
             variables["batch_stats"] = bs
-            pred, updates = model.apply(variables, fp_b, img_b, train=True,
+            pred, updates = model.apply(variables, *batch, train=True,
                                         rngs={"dropout": rng},
                                         mutable=["batch_stats"])
             return pred, updates["batch_stats"]
-        pred = model.apply(variables, fp_b, img_b, train=True,
+        pred = model.apply(variables, *batch, train=True,
                            rngs={"dropout": rng})
         return pred, bs
 
-    def loss_fn(p, bs, fp_b, img_b, y_b, rng):
-        pred, new_bs = _forward(p, bs, fp_b, img_b, rng)
+    def loss_fn(p, bs, batch, y_b, rng):
+        pred, new_bs = _forward(p, bs, batch, rng)
         return jnp.mean((pred - y_b) ** 2), new_bs
 
     def one_fold_step(carry, idx_b, rng):
         p, bs, opt = carry
-        fp_b = fp_d[idx_b]
-        img_b = img_d[idx_b]
+        batch = tuple(a[idx_b] for a in inputs_d)
         y_b = y_d[idx_b]
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, bs, fp_b, img_b, y_b, rng)
+            p, bs, batch, y_b, rng)
         updates, new_opt = tx.update(grads, opt, p)
         new_p = optax.apply_updates(p, updates)
         return (new_p, new_bs, new_opt), loss
@@ -199,27 +197,27 @@ def train_multimodal_cv(
                                     idx_ksb, rngs_ks)
 
     @jax.jit
-    def predict_chunk(params, batch_stats, fp_c, img_c):
+    def predict_chunk(params, batch_stats, *chunk_inputs):
         def fold_pred(p, bs):
             variables = {"params": p}
             if bs:
                 variables["batch_stats"] = bs
-            return model.apply(variables, fp_c, img_c, train=False)
+            return model.apply(variables, *chunk_inputs, train=False)
         return jax.vmap(fold_pred)(params, batch_stats)        # [K, C]
 
     def predict_all(params, batch_stats, chunk: int = 0):
-        """Chunked [K, N] prediction — bounds CNN activation memory.
-        Chunk adapts to the replica count so K×chunk images stay ~constant."""
+        """Chunked [K, N] prediction — bounds activation memory.
+        Chunk adapts to the replica count so K×chunk work stays ~constant."""
         if chunk <= 0:
             chunk = max(32, 4096 // k)
         outs = []
         pad = (-n) % chunk
-        fp_p = jnp.pad(fp_d, ((0, pad), (0, 0)))
-        img_p = jnp.pad(img_d, [(0, pad)] + [(0, 0)] * (img_d.ndim - 1))
+        padded = tuple(
+            jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in inputs_d)
         for start in range(0, n + pad, chunk):
-            outs.append(predict_chunk(params, batch_stats,
-                                      fp_p[start:start + chunk],
-                                      img_p[start:start + chunk]))
+            outs.append(predict_chunk(
+                params, batch_stats,
+                *(a[start:start + chunk] for a in padded)))
         return jnp.concatenate(outs, axis=1)[:, :n]
 
     host_rng = np.random.default_rng(seed)
@@ -263,3 +261,8 @@ def train_multimodal_cv(
         oof[te] = preds_fn[i, te]
         fold_of[te] = i
     return CVResult(oof, fold_of, params, batch_stats, losses_hist, folds)
+
+
+def train_multimodal_cv(model, fp, img, y, **kw) -> CVResult:
+    """Back-compat wrapper: the (fingerprint, image) special case of train_cv."""
+    return train_cv(model, (fp, img), y, **kw)

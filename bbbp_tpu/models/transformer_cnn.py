@@ -102,6 +102,11 @@ class MultiModalRegressor(nn.Module):
     fp_dim: int = 167
     n_layers: int = 6
     fp_tokens: int = 1          # 1 = faithful degenerate mode; >1 = real attention
+    max_fp_width: int = 512     # project wider fingerprints (e.g. Morgan 2048)
+                                # down before the encoder stack — the reference
+                                # trains d_model=2048 encoders one fold at a
+                                # time; with all folds batched that's ~30 GB of
+                                # parameters+optimizer state, so we bound width
     d_ff_mult: int = 4
     emb_dim: int = 128
     fusion: str = "multihead"
@@ -114,9 +119,13 @@ class MultiModalRegressor(nn.Module):
         fp = fp.astype(self.dtype)
         if self.fp_tokens <= 1:
             x = fp
+            d_model = self.fp_dim
+            if d_model > self.max_fp_width:
+                d_model = self.max_fp_width
+                x = nn.Dense(d_model, dtype=self.dtype, name="fp_in_proj")(x)
             for i in range(self.n_layers):
                 x = DegenerateEncoderLayer(
-                    d_model=self.fp_dim, d_ff=self.d_ff_mult * self.fp_dim,
+                    d_model=d_model, d_ff=self.d_ff_mult * d_model,
                     dropout=self.dropout, dtype=self.dtype, name=f"enc{i}")(x, train)
         else:
             # chunk fingerprint into tokens (pad to multiple)

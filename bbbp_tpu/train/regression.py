@@ -76,8 +76,24 @@ def _tree_features(d: ProcessedData) -> np.ndarray:
     """Tree-leg feature matrix. The reference feeds trees hstack(fp, flat 49k
     image) (:263); here: physchem descriptors + normalized fp + aux-fp PCA +
     image PCA (ablation: descriptors alone reach R²≈0.58; enriched set beats
-    any fingerprint-only combination)."""
-    return d.tree_features()
+    any fingerprint-only combination).
+
+    Wide fingerprints (Morgan/path 2048) are PCA-compressed to 256 for the
+    tree legs: >2.1k-wide histogram jobs have tripped TPU-worker faults on
+    the tunnel, and the ablations show wide raw bits underperform compressed
+    ones for trees anyway."""
+    x = d.tree_features()
+    if d.fp_norm.shape[1] > 1024:
+        from bbbp_tpu.ops import PCA
+
+        fp_c = np.asarray(PCA(256).fit_transform(d.fp_norm))
+        blocks = [fp_c, d.fp_pca, d.img_pca]
+        if d.desc_norm is not None:
+            blocks.insert(0, d.desc_norm)
+        if d.aux_fp_pca is not None:
+            blocks.append(d.aux_fp_pca)
+        x = np.concatenate(blocks, axis=1).astype(np.float32)
+    return x
 
 
 def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),

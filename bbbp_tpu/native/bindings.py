@@ -1,20 +1,55 @@
-"""ctypes bindings for libbbbpchem.so (built by bbbp_tpu/native/build.py)."""
+"""ctypes bindings for libbbbpchem.so (built by bbbp_tpu/native/build.py).
+
+The binary is NOT committed to version control: ``_load`` builds it from
+``bbbpchem.cpp`` on demand and verifies a source hash recorded at build time
+(``libbbbpchem.src.sha256``), so a stale or tampered .so can never silently
+shadow the reviewed source — it is rebuilt instead. All call sites fall back
+to the pure-Python featurizers when no compiler is available.
+"""
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
 
 _LIB = None
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "libbbbpchem.so")
+_HERE = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_HERE, "libbbbpchem.so")
+_SRC_PATH = os.path.join(_HERE, "bbbpchem.cpp")
+_HASH_PATH = os.path.join(_HERE, "libbbbpchem.src.sha256")
+
+
+def _src_hash() -> str:
+    with open(_SRC_PATH, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _ensure_built() -> bool:
+    """Build (or rebuild on source change) the shared library; returns
+    whether a current binary exists."""
+    want = _src_hash()
+    if os.path.exists(_LIB_PATH) and os.path.exists(_HASH_PATH):
+        with open(_HASH_PATH) as f:
+            if f.read().strip() == want:
+                return True
+    try:
+        from bbbp_tpu.native.build import build
+
+        build(verbose=False)
+        with open(_HASH_PATH, "w") as f:
+            f.write(want + "\n")
+        return True
+    except Exception:
+        return False
 
 
 def _load():
     global _LIB
-    if _LIB is None and os.path.exists(_LIB_PATH):
+    if _LIB is None and _ensure_built():
         lib = ctypes.CDLL(_LIB_PATH)
         lib.bbbp_fingerprints_packed.restype = ctypes.c_int
         lib.bbbp_fingerprints_packed.argtypes = [

@@ -114,73 +114,126 @@ def _dense_predict_route(feat, thr, leaf, x, depth, base_score, tree_scale):
     return out.reshape(-1)[:n]
 
 
-def _grow_level(pos, flat_bin_keys, g, h, l, F, B, lam, min_child, col_mask,
+F_CHUNK = 256
+
+
+def _grow_level(pos, xb_chunks, g, h, l, B, lam, min_child, col_mask_chunks,
                 oblivious):
     """One level of split search for all current nodes.
 
     pos: [n] node position within level (0..2^l)
-    flat_bin_keys: [n, F] int32 = f*B + bin(x_f), precomputed once
-    returns (feat_l [2^l], bin_l [2^l], has_split [2^l])
+    xb_chunks: [C, n, F_CHUNK] int32 binned features, padded to chunk multiple
+    col_mask_chunks: [C, F_CHUNK] bool (False on padded features)
+    returns (feat_l [2^l] GLOBAL feature ids, bin_l [2^l], has_split [2^l])
+
+    Exact f32 histograms via ONE fused segment_sum per chunk ((g, h) stacked
+    on a trailing axis) — O(n·F) work regardless of level width. The chunk
+    loop is a lax.map, so the HLO stays one map body no matter how wide the
+    feature space (50k+ features compile the same program), peak memory is
+    one [nodes, F_CHUNK, B] histogram pair, and the gain argmax reduces
+    per-chunk before a tiny [C] cross-chunk reduction. (The earlier
+    python-unrolled many-scatter form corrupted TPU-worker state beyond ~8
+    chunks×levels — a runtime buffer bug this structure avoids; see
+    tests/test_forest_tpu.py wide-feature regression test.)
     """
     nodes = 1 << l
-    # exact f32 histograms via segment_sum over [n*Fc] scatter keys — O(n·F)
-    # work regardless of level width (a one-hot matmul would be
-    # O(n·nodes·F·B) and explode at deep levels). Features are processed in
-    # chunks: very wide single scatters (~2k features × deep levels) crash
-    # the TPU worker, and chunking also caps the segment-buffer size.
-    F_CHUNK = 256
-    hg_parts, hh_parts = [], []
-    for f0 in range(0, F, F_CHUNK):
-        fc = min(F_CHUNK, F - f0)
-        # chunk-local keys: subtract the chunk's bin-key offset
-        keys = (pos[:, None] * (fc * B)
-                + (flat_bin_keys[:, f0:f0 + fc] - f0 * B)).ravel()
-        vg = jnp.broadcast_to(g[:, None], (g.shape[0], fc)).ravel()
-        vh = jnp.broadcast_to(h[:, None], (h.shape[0], fc)).ravel()
-        hg_parts.append(jax.ops.segment_sum(
-            vg, keys, num_segments=nodes * fc * B).reshape(nodes, fc, B))
-        hh_parts.append(jax.ops.segment_sum(
-            vh, keys, num_segments=nodes * fc * B).reshape(nodes, fc, B))
-    hg = jnp.concatenate(hg_parts, axis=1) if len(hg_parts) > 1 else hg_parts[0]
-    hh = jnp.concatenate(hh_parts, axis=1) if len(hh_parts) > 1 else hh_parts[0]
-    gl = jnp.cumsum(hg, axis=2)
-    hl = jnp.cumsum(hh, axis=2)
-    tg = gl[:, :, -1:]
-    th = hl[:, :, -1:]
-    gr = tg - gl
-    hr = th - hl
-    gain = (gl ** 2 / (hl + lam) + gr ** 2 / (hr + lam)
-            - tg ** 2 / (th + lam))
-    valid = (hl >= min_child) & (hr >= min_child) & col_mask[None, :, None]
-    gain = jnp.where(valid, gain, -jnp.inf)
-    if oblivious:
-        total = jnp.where(jnp.isfinite(gain), gain, 0.0).sum(axis=0) \
-            + jnp.where(jnp.isinf(gain).any(axis=0), -jnp.inf, 0.0)
-        best = jnp.argmax(total)
-        f_best = jnp.full((nodes,), best // B, dtype=jnp.int32)
-        b_best = jnp.full((nodes,), best % B, dtype=jnp.int32)
-        has_split = jnp.full((nodes,), jnp.isfinite(total.reshape(-1)[best]))
-    else:
-        flat_gain = gain.reshape(nodes, F * B)
-        best = jnp.argmax(flat_gain, axis=1)                      # [nodes]
-        best_gain = jnp.take_along_axis(flat_gain, best[:, None], axis=1)[:, 0]
-        f_best = (best // B).astype(jnp.int32)
-        b_best = (best % B).astype(jnp.int32)
-        has_split = jnp.isfinite(best_gain) & (best_gain > 0)
+    n = pos.shape[0]
+    fc = xb_chunks.shape[2]
+    local_off = (jnp.arange(fc, dtype=jnp.int32) * B)[None, :]   # [1, FC]
+    gh = jnp.stack([g, h], axis=1)                               # [n, 2]
+
+    def chunk_best(args):
+        xb_c, mask_c = args                                      # [n,FC], [FC]
+        keys = (pos[:, None] * (fc * B) + local_off + xb_c)      # [n, FC]
+        vals = jnp.broadcast_to(gh[:, None, :], (n, fc, 2)).reshape(-1, 2)
+        hist = jax.ops.segment_sum(vals, keys.ravel(),
+                                   num_segments=nodes * fc * B)
+        hist = hist.reshape(nodes, fc, B, 2)
+        gl = jnp.cumsum(hist[..., 0], axis=2)
+        hl = jnp.cumsum(hist[..., 1], axis=2)
+        tg = gl[:, :, -1:]
+        th = hl[:, :, -1:]
+        gr = tg - gl
+        hr = th - hl
+        gain = (gl ** 2 / (hl + lam) + gr ** 2 / (hr + lam)
+                - tg ** 2 / (th + lam))
+        valid = (hl >= min_child) & (hr >= min_child) & mask_c[None, :, None]
+        if oblivious:
+            # sum GAIN over nodes, counting unsplittable (node, f, b) entries
+            # as 0 rather than poisoning the whole level with -inf (real
+            # oblivious trees keep growing past unsplittable nodes); features
+            # invalid for EVERY node stay excluded
+            node_gain = jnp.where(valid & (gain > 0), gain, 0.0)
+            total = node_gain.sum(axis=0)                        # [FC, B]
+            total = jnp.where(valid.any(axis=0), total, -jnp.inf)
+            flat = total.reshape(fc * B)
+            best = jnp.argmax(flat)
+            bg = flat[best]
+            return (jnp.full((nodes,), bg), jnp.full((nodes,), best,
+                                                     dtype=jnp.int32))
+        flat_gain = jnp.where(valid, gain, -jnp.inf).reshape(nodes, fc * B)
+        best = jnp.argmax(flat_gain, axis=1)                     # [nodes]
+        bg = jnp.take_along_axis(flat_gain, best[:, None], axis=1)[:, 0]
+        return bg, best.astype(jnp.int32)
+
+    bg_c, best_c = jax.lax.map(chunk_best, (xb_chunks, col_mask_chunks))
+    # cross-chunk reduction: [C, nodes] -> per-node winning chunk
+    c_best = jnp.argmax(bg_c, axis=0)                            # [nodes]
+    best_gain = jnp.take_along_axis(bg_c, c_best[None, :], axis=0)[0]
+    local = jnp.take_along_axis(best_c, c_best[None, :], axis=0)[0]
+    f_best = (c_best * fc + local // B).astype(jnp.int32)
+    b_best = (local % B).astype(jnp.int32)
+    has_split = jnp.isfinite(best_gain) & (best_gain > 0)
     # dead nodes: everything goes left (bin threshold = B-1)
     f_best = jnp.where(has_split, f_best, 0)
     b_best = jnp.where(has_split, b_best, B - 1)
     return f_best, b_best, has_split
 
 
+# Cumulative scatter-OUTPUT budget per COMPILED PROGRAM. Empirically (round-2
+# fault bisection, /tmp/bisect*.py): any program whose summed segment_sum
+# OUTPUT sizes (Σ num_segments over all scatter executions) exceed ~4e9
+# silently corrupts the TPU worker — the fit completes, but the NEXT program
+# or transfer faults with "TPU worker process crashed". All passing programs
+# were ≤3.8e9 total segments, all crashing ones ≥1.0e10, independent of how
+# the total splits into executions (many small scatters and one huge scatter
+# both crash), while 3.6e10 scattered INPUT elements over small outputs pass
+# — consistent with a 32-bit cumulative output counter in the runtime's
+# scatter path (2^32 ≈ 4.3e9). Stay well under it by splitting the tree scan
+# across program launches.
+SCATTER_SEGMENT_BUDGET = 2.0e9
+
+
+def _tree_scan_segments(n: int, F: int, depth: int) -> float:
+    """Per-tree cumulative scatter-output size (level loop + leaf sum)."""
+    fc = min(F_CHUNK, _pad128(F))
+    n_chunks = (_pad128(F) + fc - 1) // fc
+    segs = sum((1 << l) * fc * MAX_BINS * n_chunks for l in range(depth))
+    return float(segs + 2 * (1 << depth))
+
+
+def _pad128(F: int) -> int:
+    return ((F + 127) // 128) * 128
+
+
 def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
-                       colsample, base_score, key, *, task: str,
-                       n_trees: int, depth: int, oblivious: bool, rf: bool):
+                       colsample, base_score, key, row_w=None, preds0=None,
+                       *, task: str, n_trees: int, depth: int,
+                       oblivious: bool, rf: bool):
     """One jit: scan over trees, python-unrolled levels (static depth).
 
     Hyperparameters (lr, lam, ..., base_score, key) are TRACED so per-fold /
     per-seed refits reuse one compilation — only (task, n_trees, depth,
     oblivious, rf) and array shapes trigger recompiles.
+
+    row_w: optional [n] per-row weight. Rows with weight 0 contribute nothing
+    to gradients/hessians — this is how the batched hyperparameter search
+    trains one fold per vmap lane on the SHARED binned matrix (no per-fold
+    data copies; bbbp_tpu.train.batched_search).
+
+    preds0: optional [n] starting margin (for multi-launch fits that resume a
+    boosting run — see SCATTER_SEGMENT_BUDGET). Returns (preds_final,
+    feats, thrs, leaves).
     """
     n, F = xb.shape
     B = MAX_BINS
@@ -188,14 +241,23 @@ def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
     n_leaves = 1 << depth
 
     xb_i = xb.astype(jnp.int32)
-    flat_bin_keys = jnp.arange(F, dtype=jnp.int32)[None, :] * B + xb_i  # [n, F]
+    # pad the feature axis to a chunk multiple and pre-chunk for the lax.map
+    # histogram (padded features carry bin 0 and a False column mask)
+    fc = min(F_CHUNK, _pad128(F))
+    pad_f = (-F) % fc
+    n_chunks = (F + pad_f) // fc
+    xb_pad = jnp.pad(xb_i, ((0, 0), (0, pad_f)))
+    xb_chunks = xb_pad.reshape(n, n_chunks, fc).transpose(1, 0, 2)
+    pad_mask = jnp.arange(F + pad_f) < F                          # [Fp]
     y = jnp.asarray(y, jnp.float32)
+
+    w_rows = jnp.ones((n,), jnp.float32) if row_w is None else row_w
 
     def tree_step(carry, key):
         preds = carry
         k1, k2, k3 = jax.random.split(key, 3)
         if rf:
-            w = jax.random.poisson(k1, 1.0, (n,)).astype(jnp.float32)
+            w = jax.random.poisson(k1, 1.0, (n,)).astype(jnp.float32) * w_rows
             g = -y * w
             h = w
         else:
@@ -208,17 +270,19 @@ def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
                 h = jnp.maximum(p * (1 - p), 1e-6)
             # traced subsample rate: rate >= 1.0 keeps every row
             m = (jax.random.uniform(k2, (n,)) < subsample).astype(jnp.float32)
-            g = g * m
-            h = h * m
+            g = g * m * w_rows
+            h = h * m * w_rows
         col_mask = jax.random.uniform(k3, (F,)) < colsample
         col_mask = col_mask.at[jnp.argmax(col_mask)].set(True)  # ≥1 feature
+        col_mask_chunks = (jnp.pad(col_mask, (0, pad_f)) & pad_mask
+                           ).reshape(n_chunks, fc)
 
         feat_flat = jnp.zeros((n_internal,), jnp.int32)
         bin_flat = jnp.zeros((n_internal,), jnp.int32)
         pos = jnp.zeros((n,), jnp.int32)
         for l in range(depth):
-            f_l, b_l, _ = _grow_level(pos, flat_bin_keys, g, h, l, F, B, lam,
-                                      min_child, col_mask, oblivious)
+            f_l, b_l, _ = _grow_level(pos, xb_chunks, g, h, l, B, lam,
+                                      min_child, col_mask_chunks, oblivious)
             off = (1 << l) - 1
             feat_flat = jax.lax.dynamic_update_slice(feat_flat, f_l, (off,))
             bin_flat = jax.lax.dynamic_update_slice(bin_flat, b_l, (off,))
@@ -234,9 +298,10 @@ def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
         return preds, (feat_flat, thr_flat, leaf)
 
     keys = jax.random.split(key, n_trees)
-    preds0 = jnp.full((n,), 1.0, jnp.float32) * base_score
-    _, (feats, thrs, leaves) = jax.lax.scan(tree_step, preds0, keys)
-    return feats, thrs, leaves
+    if preds0 is None:
+        preds0 = jnp.full((n,), 1.0, jnp.float32) * base_score
+    preds_f, (feats, thrs, leaves) = jax.lax.scan(tree_step, preds0, keys)
+    return preds_f, feats, thrs, leaves
 
 
 # jit once per (task, n_trees, depth, oblivious, rf, shapes); hyperparameters
@@ -245,6 +310,39 @@ _fit_forest_jit = jax.jit(
     _fit_forest_device,
     static_argnames=("task", "n_trees", "depth", "oblivious", "rf"),
 )
+
+
+def fit_forest_launched(xb, edge_vals, y, lr, lam, min_child, subsample,
+                        colsample, base_score, key, row_w=None, *, task: str,
+                        n_trees: int, depth: int, oblivious: bool, rf: bool,
+                        lanes: int = 1):
+    """Boosting/bagging fit split across program launches so each compiled
+    program stays under SCATTER_SEGMENT_BUDGET (see comment above — crossing
+    it corrupts the TPU worker). ``lanes`` scales the budget accounting for
+    vmapped callers (trials × folds). Returns (feats, thrs, leaves)."""
+    n, F = (int(xb.shape[-2]), int(xb.shape[-1]))
+    per_tree = _tree_scan_segments(n, F, depth) * max(1, lanes)
+    chunk = max(1, int(SCATTER_SEGMENT_BUDGET // per_tree))
+    preds = jnp.full((n,), 1.0, jnp.float32) * jnp.float32(base_score)
+    feats_l, thrs_l, leaves_l = [], [], []
+    done = 0
+    launch = 0
+    while done < n_trees:
+        t = min(chunk, n_trees - done)
+        k = jax.random.fold_in(key, launch)
+        preds, feats, thrs, leaves = _fit_forest_jit(
+            xb, edge_vals, y, lr, lam, min_child, subsample, colsample,
+            base_score, k, row_w, preds, task=task, n_trees=t, depth=depth,
+            oblivious=oblivious, rf=rf)
+        feats_l.append(feats)
+        thrs_l.append(thrs)
+        leaves_l.append(leaves)
+        done += t
+        launch += 1
+    if len(feats_l) == 1:
+        return feats_l[0], thrs_l[0], leaves_l[0]
+    return (jnp.concatenate(feats_l, axis=0), jnp.concatenate(thrs_l, axis=0),
+            jnp.concatenate(leaves_l, axis=0))
 
 
 def dense_to_tree_arrays(ens: DenseTreeEnsemble, background: np.ndarray):
@@ -327,7 +425,7 @@ class _TPUBase:
 
     def _fit(self, x, y, task: str, rf: bool, base_score: float):
         xb, edge_vals = self._prepare(x)
-        feats, thrs, leaves = _fit_forest_jit(
+        feats, thrs, leaves = fit_forest_launched(
             xb, edge_vals, np.asarray(y, np.float32),
             jnp.float32(self.learning_rate), jnp.float32(self.reg_lambda),
             jnp.float32(self.min_child_weight), jnp.float32(self.subsample),

@@ -21,7 +21,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from bbbp_tpu.chem.mol import Mol, BOND_DOUBLE, BOND_TRIPLE, BOND_AROMATIC
+from bbbp_tpu.chem.mol import (
+    Mol, BOND_SINGLE, BOND_DOUBLE, BOND_TRIPLE, BOND_AROMATIC)
 from bbbp_tpu.chem.smiles import MolFromSmiles
 
 ATOMIC_MASS = {
@@ -36,6 +37,9 @@ DESCRIPTOR_NAMES = [
     "tpsa", "hbd", "hba", "logp", "rotatable_bonds", "frac_sp3",
     "n_halogens", "n_heteroatoms", "formal_charge_abs", "wiener_proxy",
     "complexity", "n_o_count", "amide_count", "max_ring_size", "n_fragments",
+    # Crippen-family and ionization descriptors (round 2): logBB is classically
+    # modeled as a·clogP + b·TPSA + c (SURVEY.md §7 beyond-parity featurization)
+    "cmr", "n_basic_n", "n_acidic", "n_arom_hetero",
 ]
 N_DESCRIPTORS = len(DESCRIPTOR_NAMES)
 
@@ -90,7 +94,52 @@ def _tpsa(mol: Mol) -> float:
     return total
 
 
-# coarse additive logP atom contributions (Crippen-inspired classes)
+def _basic_nitrogens(mol: Mol) -> int:
+    """Aliphatic amine nitrogens (protonatable at pH 7.4) — no adjacent
+    carbonyl (amide), not aromatic, no double/triple bonds on N."""
+    n = 0
+    for a in mol.atoms:
+        if a.z != 7 or a.aromatic or a.charge < 0:
+            continue
+        orders = [mol.bonds[bi].order for bi in mol.neighbors[a.idx]]
+        if any(o in (BOND_DOUBLE, BOND_TRIPLE, BOND_AROMATIC) for o in orders):
+            continue
+        amide = False
+        for j in mol.atom_neighbors(a.idx):
+            if mol.atoms[j].z == 6:
+                for bi in mol.neighbors[j]:
+                    b = mol.bonds[bi]
+                    if b.order == BOND_DOUBLE and mol.atoms[b.other(j)].z in (7, 8, 16):
+                        amide = True
+        if not amide:
+            n += 1
+    return n
+
+
+def _acidic_groups(mol: Mol) -> int:
+    """Carboxylic/sulfonic acid groups (deprotonatable at pH 7.4)."""
+    n = 0
+    for a in mol.atoms:
+        if a.z not in (6, 16):
+            continue
+        has_dbl_o = False
+        has_oh = False
+        for j in mol.atom_neighbors(a.idx):
+            if mol.atoms[j].z != 8:
+                continue
+            b = mol.get_bond(a.idx, j)
+            if b.order == BOND_DOUBLE:
+                has_dbl_o = True
+            elif b.order == BOND_SINGLE and (
+                    mol.total_h(j) > 0 or mol.atoms[j].charge < 0):
+                has_oh = True
+        if has_dbl_o and has_oh:
+            n += 1
+    return n
+
+
+# coarse additive logP atom contributions (Crippen-inspired classes);
+# superseded as the 'logp' descriptor by chem.crippen but kept for tests/compat
 def _logp(mol: Mol) -> float:
     total = 0.0
     for a in mol.atoms:
@@ -183,14 +232,19 @@ def compute_descriptors(mol: Mol) -> np.ndarray:
                 if v not in seen:
                     seen.add(v)
                     stack.append(v)
+    from bbbp_tpu.chem.crippen import crippen_logp_mr
+
+    clogp, cmr = crippen_logp_mr(mol)
     vals = [
         mw, len(heavy), len(mol.rings), arom_rings,
         arom_atoms / max(len(heavy), 1),
-        _tpsa(mol), hbd, hba, _logp(mol), rot, frac_sp3,
+        _tpsa(mol), hbd, hba, clogp, rot, frac_sp3,
         halogens, hetero, float(sum(abs(a.charge) for a in mol.atoms)),
         wiener, complexity,
         sum(1 for a in heavy if a.z in (7, 8)), amide,
         max((len(r) for r in mol.rings), default=0), n_frag,
+        cmr, _basic_nitrogens(mol), _acidic_groups(mol),
+        sum(1 for a in heavy if a.aromatic and a.z != 6),
     ]
     return np.asarray(vals, dtype=np.float32)
 

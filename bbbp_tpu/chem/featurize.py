@@ -19,8 +19,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-FP_KINDS = ("morgan", "maccs", "rdkit", "pairs")
-FP_SIZES = {"morgan": 2048, "maccs": 167, "rdkit": 2048, "pairs": 2048}
+FP_KINDS = ("morgan", "maccs", "rdkit", "pairs", "morgan_counts")
+FP_SIZES = {"morgan": 2048, "maccs": 167, "rdkit": 2048, "pairs": 2048,
+            "morgan_counts": 2048}
 
 
 def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
@@ -28,6 +29,7 @@ def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
     from bbbp_tpu.chem.smiles import MolFromSmiles
     from bbbp_tpu.chem.fingerprints import (
         morgan_fingerprint,
+        morgan_count_fingerprint,
         maccs_fingerprint,
         path_fingerprint,
         atom_pair_fingerprint,
@@ -43,6 +45,8 @@ def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
             continue
         if kind == "morgan":
             out[i] = morgan_fingerprint(mol, radius=radius, n_bits=n_bits)
+        elif kind == "morgan_counts":
+            out[i] = morgan_count_fingerprint(mol, radius=radius, n_bits=n_bits)
         elif kind == "maccs":
             out[i] = maccs_fingerprint(mol)
         elif kind == "rdkit":

@@ -125,6 +125,25 @@ def morgan_fingerprint(mol: Mol, radius: int = 2, n_bits: int = 2048,
     return fp
 
 
+def morgan_count_fingerprint(mol: Mol, radius: int = 2, n_bits: int = 2048,
+                             dtype=np.float32) -> np.ndarray:
+    """Hashed Morgan COUNT vector (ECFC): each unique environment adds 1 to its
+    folded bucket per occurrence. Counts carry repeated-substructure signal the
+    binary bits discard (beyond-parity input for the regression tree legs)."""
+    fp = np.zeros(n_bits, dtype=dtype)
+    seen: Dict[Tuple[int, frozenset], int] = {}
+    for h, r, bset in morgan_environments(mol, radius):
+        if r == 0:
+            fp[h % n_bits] += 1
+        else:
+            key = (r, bset)
+            if key not in seen or h < seen[key]:
+                seen[key] = h
+    for h in seen.values():
+        fp[h % n_bits] += 1
+    return fp
+
+
 # ---------------------------------------------------------------------------
 # Path (RDKit-topological-style) fingerprint
 # ---------------------------------------------------------------------------

@@ -57,16 +57,26 @@ def atom_features(mol: Mol, i: int) -> np.ndarray:
     return f
 
 
-def graph_features(smiles: Sequence[str], max_atoms: int = 128
-                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[int]]:
+N_BOND_TYPES = 4   # single, double, triple, aromatic
+
+
+def graph_features(smiles: Sequence[str], max_atoms: int = 128,
+                   edge_types: bool = False):
     """SMILES batch → (features [N, max_atoms, F], adjacency [N, max_atoms,
     max_atoms], mask [N, max_atoms], bad_indices). Oversized molecules are
-    truncated; invalid ones zeroed + reported."""
+    truncated; invalid ones zeroed + reported.
+
+    ``edge_types=True`` additionally returns a bond-type adjacency stack
+    [N, N_BOND_TYPES, max_atoms, max_atoms] (single/double/triple/aromatic)
+    for edge-conditioned message passing (models.gnn.MPNNRegressor)."""
     n = len(smiles)
     feats = np.zeros((n, max_atoms, N_ATOM_FEATURES), dtype=np.float32)
     adj = np.zeros((n, max_atoms, max_atoms), dtype=np.float32)
+    adj_t = (np.zeros((n, N_BOND_TYPES, max_atoms, max_atoms), dtype=np.float32)
+             if edge_types else None)
     mask = np.zeros((n, max_atoms), dtype=np.float32)
     bad: List[int] = []
+    order_slot = {1: 0, BOND_DOUBLE: 1, BOND_TRIPLE: 2, BOND_AROMATIC: 3}
     for idx, s in enumerate(smiles):
         mol = MolFromSmiles(s)
         if mol is None:
@@ -81,4 +91,10 @@ def graph_features(smiles: Sequence[str], max_atoms: int = 128
             if b.a1 < max_atoms and b.a2 < max_atoms:
                 adj[idx, b.a1, b.a2] = 1.0
                 adj[idx, b.a2, b.a1] = 1.0
+                if adj_t is not None:
+                    t = order_slot.get(b.order, 0)
+                    adj_t[idx, t, b.a1, b.a2] = 1.0
+                    adj_t[idx, t, b.a2, b.a1] = 1.0
+    if edge_types:
+        return feats, adj, adj_t, mask, bad
     return feats, adj, mask, bad

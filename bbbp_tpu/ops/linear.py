@@ -335,17 +335,18 @@ def _mlp_forward(params, x):
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _mlp_train(x, y, seed, hidden, n_steps, classify):
+def _mlp_train(x, y, seed, hidden, n_steps, classify, lr0=1e-3, l2=0.0):
     dims = (x.shape[1],) + hidden + (1,)
     params = _init_mlp(jax.random.PRNGKey(seed), dims)
 
     def loss_fn(params):
         z = _mlp_forward(params, x)
+        reg = l2 * sum(jnp.sum(w ** 2) for w, _ in params)
         if classify:
             return jnp.mean(
                 jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-            )
-        return jnp.mean((z - y) ** 2)
+            ) + reg
+        return jnp.mean((z - y) ** 2) + reg
 
     opt_state = [(jnp.zeros_like(w), jnp.zeros_like(b)) for w, b in params]
 
@@ -359,7 +360,7 @@ def _mlp_train(x, y, seed, hidden, n_steps, classify):
             vw = 0.999 * vw + 0.001 * gw ** 2
             vb = 0.999 * vb + 0.001 * gb ** 2
             tt = t + 1.0
-            lr = 1e-3 * jnp.sqrt(1 - 0.999 ** tt) / (1 - 0.9 ** tt)
+            lr = lr0 * jnp.sqrt(1 - 0.999 ** tt) / (1 - 0.9 ** tt)
             new_p.append((w - lr * mw / (jnp.sqrt(vw) + 1e-8),
                           b - lr * mb / (jnp.sqrt(vb) + 1e-8)))
             new_m.append((mw, mb))
@@ -377,16 +378,20 @@ class MLPClassifier(_ParamsMixin):
     """Small fully-batched MLP — replaces sklearn MLPClassifier
     (reference: Models/model_opt_20250130.py:444)."""
 
-    _param_names = ("hidden", "n_steps", "seed")
+    _param_names = ("hidden", "n_steps", "seed", "lr", "l2")
 
-    def __init__(self, hidden=(100,), n_steps: int = 500, seed: int = 0):
+    def __init__(self, hidden=(100,), n_steps: int = 500, seed: int = 0,
+                 lr: float = 1e-3, l2: float = 0.0):
         self.hidden = tuple(hidden)
         self.n_steps = n_steps
         self.seed = seed
+        self.lr = lr
+        self.l2 = l2
 
     def fit(self, x, y) -> "MLPClassifier":
         self.params_ = _mlp_train(_as_f32(x), _as_f32(y), self.seed,
-                                  self.hidden, self.n_steps, True)
+                                  self.hidden, self.n_steps, True,
+                                  jnp.float32(self.lr), jnp.float32(self.l2))
         return self
 
     def decision_function(self, x) -> np.ndarray:
@@ -403,7 +408,8 @@ class MLPClassifier(_ParamsMixin):
 class MLPRegressor(MLPClassifier):
     def fit(self, x, y) -> "MLPRegressor":
         self.params_ = _mlp_train(_as_f32(x), _as_f32(y), self.seed,
-                                  self.hidden, self.n_steps, False)
+                                  self.hidden, self.n_steps, False,
+                                  jnp.float32(self.lr), jnp.float32(self.l2))
         return self
 
     def predict(self, x) -> np.ndarray:

@@ -19,7 +19,7 @@ import dataclasses
 import os
 import pickle
 from dataclasses import dataclass
-from typing import Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -47,6 +47,13 @@ class PreprocessConfig:
     # fingerprint kinds PCA-compressed (SURVEY §7 "don't stop at parity")
     enrich: bool = True
     aux_pca_dim: int = 100
+    # strict leak-free protocol support: also keep the UNnormalized feature
+    # blocks so the trainer can fit scaler/PCA per CV fold (train rows only)
+    keep_raw: bool = False
+    # per-sample scaler quirk of the P1 base variant (reference:
+    # Descriptors/multi_input_data_preprocess.py:68-73 fits a StandardScaler
+    # per ROW, i.e. normalizes each sample over its own feature values)
+    compat_per_sample: bool = False
 
 
 @dataclass
@@ -61,8 +68,13 @@ class ProcessedData:
     outliers: np.ndarray        # [N] +1/-1
     numbers: np.ndarray
     config: PreprocessConfig
-    desc_norm: Optional[np.ndarray] = None   # [N, 20] physchem descriptors
+    desc_norm: Optional[np.ndarray] = None   # [N, 24] physchem descriptors
     aux_fp_pca: Optional[np.ndarray] = None  # [N, 2*aux_pca_dim] other fps
+    # raw (pre-normalization) blocks for the strict per-fold protocol
+    fp_raw: Optional[np.ndarray] = None
+    img_raw: Optional[np.ndarray] = None
+    desc_raw: Optional[np.ndarray] = None
+    aux_fp_raw: Optional[Dict] = None        # kind -> [N, n_bits]
 
     def tree_features(self) -> np.ndarray:
         """Enriched tree-leg matrix: descriptors + fp + aux-fp PCA + img PCA."""
@@ -103,7 +115,13 @@ def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> Process
 
     # joint standardization of [fp | image] like the reference (:86-103)
     joint = np.concatenate([fp, img], axis=1)
-    if cfg.compat_batch:
+    if cfg.compat_per_sample:
+        # P1 quirk: StandardScaler fit per SAMPLE — each row normalized over
+        # its own feature values (multi_input_data_preprocess.py:68-73)
+        mu = joint.mean(axis=1, keepdims=True)
+        sd = joint.std(axis=1, keepdims=True)
+        joint_n = (joint - mu) / np.maximum(sd, 1e-8)
+    elif cfg.compat_batch:
         joint_n = standardize_per_batch(joint, cfg.compat_batch)
     else:
         joint_n = np.asarray(StandardScaler().fit_transform(joint))
@@ -124,17 +142,21 @@ def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> Process
         np.concatenate([fp_p, img_p], axis=1))
 
     desc_n = None
+    desc_raw = None
     aux = None
+    aux_raw: Optional[Dict] = None
     if cfg.enrich:
         from bbbp_tpu.chem.descriptors import descriptor_matrix
 
-        desc, _ = descriptor_matrix(smiles)
-        desc_n = np.asarray(StandardScaler().fit_transform(desc))
+        desc_raw, _ = descriptor_matrix(smiles)
+        desc_n = np.asarray(StandardScaler().fit_transform(desc_raw))
         aux_blocks = []
-        for kind in ("morgan", "rdkit"):
+        aux_raw = {}
+        for kind in ("morgan_counts", "rdkit"):
             if kind == cfg.fp_kind:
                 continue
             res = fingerprints(smiles, kind=kind, workers=cfg.workers)
+            aux_raw[kind] = res.features.astype(np.float32)
             xn = np.asarray(StandardScaler().fit_transform(res.features))
             k = min(cfg.aux_pca_dim, xn.shape[0], xn.shape[1])
             aux_blocks.append(np.asarray(PCA(k).fit_transform(xn)))
@@ -158,6 +180,12 @@ def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> Process
         config=cfg,
         desc_norm=desc_n[keep] if desc_n is not None else None,
         aux_fp_pca=aux[keep] if aux is not None else None,
+        fp_raw=fp[keep].astype(np.float32) if cfg.keep_raw else None,
+        img_raw=img[keep].astype(np.float32) if cfg.keep_raw else None,
+        desc_raw=(desc_raw[keep].astype(np.float32)
+                  if cfg.keep_raw and desc_raw is not None else None),
+        aux_fp_raw=({k: v[keep] for k, v in aux_raw.items()}
+                    if cfg.keep_raw and aux_raw else None),
     )
 
 

@@ -28,6 +28,18 @@ def write_metrics_csv(path: str, report: Dict[str, Dict[str, float]],
             w.writerow([model] + [f"{r.get(m, float('nan')):.4f}" for m in metrics])
 
 
+def write_trials_csv(path: str, trials) -> None:
+    """Hyperparameter-search trial records → CSV (reference learning-scores
+    CSV convention, Models/model_opt_20250130.py:151-158)."""
+    if not trials:
+        return
+    keys = list(trials[0].keys())
+    with open(path, "w") as f:
+        f.write(",".join(str(k) for k in keys) + "\n")
+        for t in trials:
+            f.write(",".join(str(t.get(k, "")) for k in keys) + "\n")
+
+
 def append_jsonl(path: str, record: Dict, add_time: bool = True) -> None:
     if add_time:
         record = {"t": time.time(), **record}

@@ -162,6 +162,38 @@ def hyperparam_scatter_plot(results: List[Dict], x_key: str, y_key: str,
     return _save(fig, path)
 
 
+def hyperparam_search_plots(trials: List[Dict], prefix: str,
+                            score_key: str = "mean_accuracy") -> List[str]:
+    """Emit the reference's 2-D and 3-D hyperparameter-search scatters
+    (Models/model_opt_20250130.py:161-238: plot_3d_hyperparam_search when the
+    search space has >=3 numeric dims, plot_2d otherwise) from a trials list.
+    Returns the written paths."""
+    if not trials:
+        return []
+    num_keys = [k for k in trials[0]
+                if not k.startswith("mean_")
+                and isinstance(trials[0][k], (int, float))
+                and len({float(t[k]) for t in trials}) > 1]
+    out = []
+    if len(num_keys) >= 2:
+        out.append(hyperparam_scatter_plot(
+            trials, num_keys[0], num_keys[1], score_key, prefix + "_2d.png"))
+    if len(num_keys) >= 3:
+        out.append(hyperparam_scatter_plot(
+            trials, num_keys[0], num_keys[1], score_key, prefix + "_3d.png",
+            z_key=num_keys[2]))
+    if len(num_keys) == 1:
+        k = num_keys[0]
+        xs = np.asarray([t[k] for t in trials], dtype=float)
+        sc = np.asarray([t[score_key] for t in trials], dtype=float)
+        fig, ax = plt.subplots(figsize=(5, 4))
+        ax.scatter(xs, sc, s=20)
+        ax.set_xlabel(k)
+        ax.set_ylabel(score_key)
+        out.append(_save(fig, prefix + "_1d.png"))
+    return out
+
+
 def pca_space_plot(coords_2d, labels, path: str, label_names=("BBB-", "BBB+")) -> str:
     """PCA chemical-space scatter colored by class (reference F6/F7)."""
     coords_2d = np.asarray(coords_2d)

@@ -1,0 +1,407 @@
+"""Hyperparameter search with trials × folds as BATCHED DEVICE AXES.
+
+The reference tunes every classification base model with
+``RandomizedSearchCV(n_iter=50, StratifiedKFold(5), scoring={accuracy,
+precision}, refit='accuracy')`` — 250 sequential host fits per model
+(reference: Models/model_opt_20250130.py:557-561; GridSearchCV per model in
+the baseline, Models/model.py:136-199). TPU-first redesign (SURVEY.md §7.5
+"random hyperparameter search as a sharded trial axis"): for every JAX zoo
+family the (trial, fold) grid trains in ONE jit — the fold axis is an inner
+vmap over per-fold gathered train sets, the trial axis an outer vmap over
+traced hyperparameters — so 250 fits cost roughly one fit of wall-clock, and
+the trial axis shards over a mesh 'data' axis when one is passed.
+
+Forest models (static tree count/depth) group trials by their static shape
+and vmap each group over folds with traced (lr, lambda, subsample, colsample).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bbbp_tpu.train.search import stratified_kfold_indices, _sample_params
+
+
+# ---------------------------------------------------------------------------
+# fold plumbing
+# ---------------------------------------------------------------------------
+
+def padded_cv_arrays(n: int, folds: List[np.ndarray]):
+    """(tr_idx [K,S], va_idx [K,V], va_mask [K,V]) — wrap-padded to equal size."""
+    k = len(folds)
+    tr_sets = []
+    for i in range(k):
+        tr_sets.append(np.concatenate([folds[j] for j in range(k) if j != i]))
+    s = max(len(t) for t in tr_sets)
+    v = max(len(f) for f in folds)
+    tr_idx = np.stack([np.resize(t, s) for t in tr_sets])
+    va_idx = np.stack([np.resize(f, v) for f in folds])
+    va_mask = np.stack([
+        (np.arange(v) < len(f)).astype(np.float32) for f in folds])
+    return tr_idx, va_idx, va_mask
+
+
+def _masked_scores(proba_kv, y_kv, mask_kv):
+    """accuracy + precision over the whole masked (fold, val) grid."""
+    pred = (proba_kv > 0.5).astype(jnp.float32)
+    correct = (pred == y_kv).astype(jnp.float32) * mask_kv
+    acc = correct.sum() / mask_kv.sum()
+    tp = (pred * y_kv * mask_kv).sum()
+    fp = (pred * (1 - y_kv) * mask_kv).sum()
+    prec = tp / jnp.maximum(tp + fp, 1e-9)
+    return acc, prec
+
+
+# ---------------------------------------------------------------------------
+# per-family fit kernels (pure functions of traced hyperparameters)
+# ---------------------------------------------------------------------------
+
+def _logreg_fit_predict(x_tr, y_tr, x_va, p):
+    n, d = x_tr.shape
+    xb = jnp.concatenate([x_tr, jnp.ones((n, 1))], axis=1)
+    w = jnp.zeros(d + 1)
+    reg = p["l2"] * jnp.concatenate([jnp.ones(d), jnp.zeros(1)])
+
+    def step(w, _):
+        z = xb @ w
+        pr = jax.nn.sigmoid(z)
+        g = xb.T @ (pr - y_tr) + reg * w
+        s = jnp.clip(pr * (1 - pr), 1e-6)
+        hess = (xb * s[:, None]).T @ xb + jnp.diag(reg + 1e-6)
+        return w - jax.scipy.linalg.solve(hess, g, assume_a="pos"), None
+
+    w, _ = jax.lax.scan(step, w, None, length=20)
+    return jax.nn.sigmoid(x_va @ w[:-1] + w[-1])
+
+
+def _svc_fit_predict(x_tr, y_tr, x_va, p):
+    n, d = x_tr.shape
+    y_pm = y_tr * 2 - 1
+    c = p["C"] / n
+
+    def loss_fn(w):
+        z = x_tr @ w[:-1] + w[-1]
+        m = jnp.maximum(0.0, 1.0 - y_pm * z)
+        return 0.5 * jnp.sum(w[:-1] ** 2) + c * jnp.sum(m ** 2)
+
+    def step(carry, t):
+        w, m, v = carry
+        g = jax.grad(loss_fn)(w)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mh = m / (1 - 0.9 ** (t + 1))
+        vh = v / (1 - 0.999 ** (t + 1))
+        return (w - 0.05 * mh / (jnp.sqrt(vh) + 1e-8), m, v), None
+
+    z0 = jnp.zeros(d + 1)
+    (w, _, _), _ = jax.lax.scan(step, (z0, z0, z0),
+                                jnp.arange(400, dtype=jnp.float32))
+    return jax.nn.sigmoid(x_va @ w[:-1] + w[-1])   # monotone surrogate proba
+
+
+def _bnb_fit_predict(x_tr, y_tr, x_va, p):
+    xb = (x_tr > 0).astype(jnp.float32)
+    a = p["alpha"]
+    n1 = y_tr.sum()
+    n0 = y_tr.shape[0] - n1
+    c1 = (xb * y_tr[:, None]).sum(0)
+    c0 = xb.sum(0) - c1
+    lp1 = jnp.log((c1 + a) / (n1 + 2 * a))
+    lp0 = jnp.log((c0 + a) / (n0 + 2 * a))
+    xv = (x_va > 0).astype(jnp.float32)
+    j1 = xv @ lp1 + (1 - xv) @ jnp.log1p(-jnp.exp(lp1)) + jnp.log(n1 / y_tr.shape[0])
+    j0 = xv @ lp0 + (1 - xv) @ jnp.log1p(-jnp.exp(lp0)) + jnp.log(n0 / y_tr.shape[0])
+    return jax.nn.sigmoid(j1 - j0)
+
+
+def _mlp_fit_predict(x_tr, y_tr, x_va, p, *, hidden: Tuple[int, ...],
+                     n_steps: int):
+    dims = (x_tr.shape[1],) + hidden + (1,)
+    key = jax.random.fold_in(jax.random.PRNGKey(0), jnp.asarray(p["seed"], jnp.int32))
+    params = []
+    for i in range(len(dims) - 1):
+        key, k1 = jax.random.split(key)
+        params.append((jax.random.normal(k1, (dims[i], dims[i + 1]))
+                       * jnp.sqrt(2.0 / dims[i]), jnp.zeros(dims[i + 1])))
+
+    def fwd(params, x):
+        for i, (w, b) in enumerate(params):
+            x = x @ w + b
+            if i < len(params) - 1:
+                x = jax.nn.relu(x)
+        return x[:, 0]
+
+    def loss_fn(params):
+        z = fwd(params, x_tr)
+        ce = jnp.mean(jnp.maximum(z, 0) - z * y_tr + jnp.log1p(jnp.exp(-jnp.abs(z))))
+        l2 = sum(jnp.sum(w ** 2) for w, _ in params)
+        return ce + p["l2"] * l2
+
+    def step(carry, t):
+        params, m, v = carry
+        g = jax.grad(loss_fn)(params)
+        lr = p["lr"] * jnp.sqrt(1 - 0.999 ** (t + 1)) / (1 - 0.9 ** (t + 1))
+        new_p, new_m, new_v = [], [], []
+        for (w, b), (gw, gb), (mw, mb), (vw, vb) in zip(params, g, m, v):
+            mw, mb = 0.9 * mw + 0.1 * gw, 0.9 * mb + 0.1 * gb
+            vw, vb = 0.999 * vw + 0.001 * gw ** 2, 0.999 * vb + 0.001 * gb ** 2
+            new_p.append((w - lr * mw / (jnp.sqrt(vw) + 1e-8),
+                          b - lr * mb / (jnp.sqrt(vb) + 1e-8)))
+            new_m.append((mw, mb))
+            new_v.append((vw, vb))
+        return (new_p, new_m, new_v), None
+
+    zeros = [(jnp.zeros_like(w), jnp.zeros_like(b)) for w, b in params]
+    (params, _, _), _ = jax.lax.scan(
+        step, (params, zeros, [(jnp.zeros_like(w), jnp.zeros_like(b))
+                               for w, b in params]),
+        jnp.arange(n_steps, dtype=jnp.float32))
+    return jax.nn.sigmoid(fwd(params, x_va))
+
+
+_FIT_KERNELS = {
+    "logreg": _logreg_fit_predict,
+    "svc": _svc_fit_predict,
+    "bnb": _bnb_fit_predict,
+}
+
+
+# ---------------------------------------------------------------------------
+# the batched (trial × fold) CV engine
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("kernel_name", "static_kw"))
+def _batched_cv(x, y, tr_idx, va_idx, va_mask, params_t, kernel_name,
+                static_kw=()):
+    """[T] accuracy, [T] precision for one model family in one jit."""
+    kern = (_FIT_KERNELS[kernel_name] if kernel_name in _FIT_KERNELS
+            else functools.partial(_mlp_fit_predict, **dict(static_kw)))
+    x_tr = x[tr_idx]            # [K, S, d] — gathered once, shared by trials
+    y_tr = y[tr_idx]
+    x_va = x[va_idx]
+    y_va = y[va_idx]
+
+    def one_trial(p):
+        proba = jax.vmap(lambda a, b, c: kern(a, b, c, p))(x_tr, y_tr, x_va)
+        return _masked_scores(proba, y_va, va_mask)
+
+    return jax.vmap(one_trial)(params_t)
+
+
+def _knn_cv(x, y, tr_idx, va_idx, va_mask, ks: Sequence[int]):
+    """All k values from one shared top-k pass per fold."""
+    max_k = int(max(ks))
+
+    @jax.jit
+    def neighbor_labels(x, y, tr_idx, va_idx):
+        def one_fold(tr, va):
+            xt, xv = x[tr], x[va]
+            d = (jnp.sum(xv * xv, 1, keepdims=True) - 2 * xv @ xt.T
+                 + jnp.sum(xt * xt, 1)[None])
+            _, idx = jax.lax.top_k(-d, max_k)
+            return y[tr][idx]                       # [V, max_k]
+        return jax.vmap(one_fold)(tr_idx, va_idx)
+
+    lbl = neighbor_labels(jnp.asarray(x), jnp.asarray(y),
+                          jnp.asarray(tr_idx), jnp.asarray(va_idx))  # [K,V,maxk]
+    csum = jnp.cumsum(lbl, axis=-1)
+    accs, precs = [], []
+    for k in ks:
+        proba = csum[..., k - 1] / k
+        a, p = _masked_scores(proba, jnp.asarray(y)[jnp.asarray(va_idx)],
+                              jnp.asarray(va_mask))
+        accs.append(float(a))
+        precs.append(float(p))
+    return np.asarray(accs), np.asarray(precs)
+
+
+def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
+               verbose: bool = False):
+    """Forest trials grouped by static (n_estimators, depth, oblivious, rf);
+    each group = one jit, vmapped over trials × folds with traced
+    (lr, lambda, subsample, colsample) and per-fold row weights over the
+    SHARED binned matrix."""
+    from bbbp_tpu.ops.forest import BinMapper, MAX_BINS
+    from bbbp_tpu.ops.forest_tpu import (
+        SCATTER_SEGMENT_BUDGET, _dense_predict, _fit_forest_device,
+        _tree_scan_segments)
+
+    x = np.asarray(x, np.float32)
+    y32 = np.asarray(y, np.float32)
+    n = len(y32)
+    mapper = BinMapper().fit(x)
+    xb = jnp.asarray(mapper.transform(x))
+    F = x.shape[1]
+    edge_vals = np.full((F, MAX_BINS), np.inf, dtype=np.float32)
+    for f, e in enumerate(mapper.edges_):
+        if len(e):
+            edge_vals[f, : len(e)] = e
+    edge_vals = jnp.asarray(edge_vals)
+    tr_idx, va_idx, va_mask = padded_cv_arrays(n, folds)
+    w_kn = np.zeros((len(folds), n), np.float32)
+    for i in range(len(folds)):
+        w_kn[i][tr_idx[i]] = 1.0                      # wrap-pad dups collapse
+    w_kn = jnp.asarray(w_kn)
+
+    groups: Dict[Tuple, List[int]] = {}
+    for t, p in enumerate(param_sets):
+        key = (int(p.get("n_estimators", 300)), int(p.get("max_depth", 6)),
+               bool(p.get("oblivious", False)), bool(p.get("rf", False)))
+        groups.setdefault(key, []).append(t)
+
+    acc = np.zeros(len(param_sets))
+    prec = np.zeros(len(param_sets))
+    if classify:
+        p0 = float(np.clip(y32.mean(), 1e-6, 1 - 1e-6))
+        base = float(np.log(p0 / (1 - p0)))
+    else:
+        base = float(y32.mean())
+    y_d = jnp.asarray(y32)
+    x_va_d = jnp.asarray(x[va_idx])                   # [K, V, F]
+    y_va = y_d[jnp.asarray(va_idx)]
+
+    for (n_est, depth, obl, rf), t_ids in groups.items():
+        lrs = jnp.asarray([param_sets[t].get("learning_rate", 0.1) for t in t_ids],
+                          jnp.float32)
+        lams = jnp.asarray([param_sets[t].get("reg_lambda", 1.0) for t in t_ids],
+                           jnp.float32)
+        subs = jnp.asarray([param_sets[t].get("subsample", 1.0) for t in t_ids],
+                           jnp.float32)
+        cols = jnp.asarray([param_sets[t].get("colsample", 1.0) for t in t_ids],
+                           jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(0), len(t_ids))
+        base_rf = 0.0 if rf else base
+        # launch-split the tree axis so each compiled program's cumulative
+        # scatter stays under budget across ALL vmapped (trial × fold) lanes
+        lanes = len(t_ids) * len(folds)
+        per_tree = _tree_scan_segments(n, F, depth) * lanes
+        chunk = max(1, int(SCATTER_SEGMENT_BUDGET // per_tree))
+
+        @functools.partial(jax.jit, static_argnames=("t",))
+        def run_chunk(preds, lrs, lams, subs, cols, keys, launch, t,
+                      _depth=depth, _obl=obl, _rf=rf, _base=base_rf):
+            def one_trial(preds_k, lr, lam, sub, col, key):
+                def one_fold(p0, w_row):
+                    return _fit_forest_device(
+                        xb, edge_vals, y_d, lr, lam, jnp.float32(1.0), sub,
+                        col, jnp.float32(_base),
+                        jax.random.fold_in(key, launch), w_row, p0,
+                        task="cls" if classify else "reg",
+                        n_trees=t, depth=_depth, oblivious=_obl, rf=_rf)
+                return jax.vmap(one_fold)(preds_k, w_kn)
+            return jax.vmap(one_trial)(preds, lrs, lams, subs, cols, keys)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def score_chunk(feats, thrs, leaves, scales):
+            def one_trial(fe, th, le, sc):
+                def one_fold(fe_k, th_k, le_k, xv):
+                    return _dense_predict(fe_k, th_k, le_k, xv, depth,
+                                          jnp.float32(base_rf), sc)
+                return jax.vmap(one_fold)(fe, th, le, x_va_d)
+            return jax.vmap(one_trial)(feats, thrs, leaves, scales)
+
+        preds = jnp.full((len(t_ids), len(folds), n), base_rf, jnp.float32)
+        raw_sum = np.zeros((len(t_ids), len(folds), len(va_idx[0])), np.float32)
+        scales = (jnp.full((len(t_ids),), 1.0 / n_est) if rf
+                  else lrs)
+        done, launch = 0, 0
+        while done < n_est:
+            t = min(chunk, n_est - done)
+            preds, feats, thrs, leaves = run_chunk(
+                preds, lrs, lams, subs, cols, keys, launch, t)
+            raw_sum += np.asarray(score_chunk(feats, thrs, leaves, scales))
+            done += t
+            launch += 1
+        # _dense_predict adds the base score once PER CHUNK; keep exactly one
+        raw = raw_sum - base_rf * (launch - 1)
+        for j, t in enumerate(t_ids):
+            if rf:
+                proba = np.clip(raw[j], 0.0, 1.0) if classify else raw[j]
+            else:
+                proba = 1 / (1 + np.exp(-raw[j])) if classify else raw[j]
+            a, p = _masked_scores(jnp.asarray(proba), y_va, jnp.asarray(va_mask))
+            acc[t] = float(a)
+            prec[t] = float(p)
+        if verbose:
+            print(f"[search] forest group n={n_est} d={depth} obl={obl} "
+                  f"rf={rf}: {len(t_ids)} trials done")
+    return acc, prec
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BatchedSearchResult:
+    best_params: Dict
+    best_score: float
+    trials: List[Dict]
+
+
+def batched_random_search(model_name: str, x: np.ndarray, y: np.ndarray,
+                          dists: Dict, n_iter: int = 50, cv: int = 5,
+                          seed: int = 42, verbose: bool = False
+                          ) -> BatchedSearchResult:
+    """RandomizedSearchCV(n_iter, StratifiedKFold(cv), scoring={accuracy,
+    precision}, refit='accuracy') with the (trial, fold) grid batched on
+    device. Supported families: logreg, svc, bnb, mlp, knn, and the forest
+    models (dt/rf via gbdt surrogates handled by forest_cv in the caller)."""
+    rng = np.random.default_rng(seed)
+    params = [_sample_params(dists, rng) for _ in range(n_iter)]
+    folds = stratified_kfold_indices(y, cv, seed)
+    tr_idx, va_idx, va_mask = padded_cv_arrays(len(y), folds)
+    xd = jnp.asarray(x, jnp.float32)
+    yd = jnp.asarray(y, jnp.float32)
+
+    if model_name in ("logreg", "svc", "bnb"):
+        keymap = {"logreg": ("l2",), "svc": ("C",), "bnb": ("alpha",)}[model_name]
+        params_t = {k: jnp.asarray([p[k] for p in params], jnp.float32)
+                    for k in keymap}
+        acc, prec = _batched_cv(xd, yd, jnp.asarray(tr_idx), jnp.asarray(va_idx),
+                                jnp.asarray(va_mask), params_t, model_name)
+        acc, prec = np.asarray(acc), np.asarray(prec)
+    elif model_name == "mlp":
+        # group by hidden (static shape); lr/l2/seed traced
+        by_hidden: Dict[Tuple, List[int]] = {}
+        for t, p in enumerate(params):
+            by_hidden.setdefault(tuple(p.get("hidden", (128,))), []).append(t)
+        acc = np.zeros(n_iter)
+        prec = np.zeros(n_iter)
+        for hidden, t_ids in by_hidden.items():
+            params_t = {
+                "lr": jnp.asarray([params[t].get("lr", 1e-3) for t in t_ids],
+                                  jnp.float32),
+                "l2": jnp.asarray([params[t].get("l2", 0.0) for t in t_ids],
+                                  jnp.float32),
+                "seed": jnp.asarray([t for t in t_ids], jnp.int32),
+            }
+            a, p = _batched_cv(
+                xd, yd, jnp.asarray(tr_idx), jnp.asarray(va_idx),
+                jnp.asarray(va_mask), params_t, "mlp",
+                static_kw=(("hidden", hidden),
+                           ("n_steps", int(params[t_ids[0]].get("n_steps", 500)))))
+            acc[t_ids] = np.asarray(a)
+            prec[t_ids] = np.asarray(p)
+    elif model_name == "knn":
+        ks = [int(p["n_neighbors"]) for p in params]
+        acc, prec = _knn_cv(x, y, tr_idx, va_idx, va_mask, ks)
+    elif model_name in ("dt", "rf", "gb", "xgb", "cat"):
+        acc, prec = _forest_cv(x, y, folds, params, classify=True,
+                               verbose=verbose)
+    else:
+        raise ValueError(f"no batched search kernel for {model_name!r}")
+
+    trials = [{**p, "mean_accuracy": float(a), "mean_precision": float(pr)}
+              for p, a, pr in zip(params, acc, prec)]
+    best_t = int(np.argmax(acc))
+    if verbose:
+        print(f"[search] {model_name}: best acc={acc[best_t]:.4f} "
+              f"params={params[best_t]}")
+    return BatchedSearchResult(params[best_t], float(acc[best_t]), trials)

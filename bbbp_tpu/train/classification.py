@@ -16,8 +16,11 @@ parity with the published CSVs; ``protocol='honest'`` resamples only the train
 split.
 
 TPU design: every base model is this framework's JAX implementation
-(bbbp_tpu.ops.linear / ops.forest); OOF probability matrices are assembled
-fold-parallel; the tree legs' inference runs batched on device.
+(bbbp_tpu.ops.linear / ops.forest); the per-model RandomizedSearchCV stage
+runs its (trial × fold) grid as batched device axes (train.batched_search) —
+250 fits per model at roughly one fit of wall-clock; OOF probability matrices
+are assembled fold-parallel; the tree legs' inference runs batched on device.
+``tune=False`` skips the search and uses the hand-set defaults below.
 """
 
 from __future__ import annotations
@@ -59,6 +62,93 @@ class ClassificationTrainConfig:
     resampler: str = "smotetomek"   # smotetomek | smote | none (A4/A6 variants)
     models: Tuple[str, ...] = (
         "knn", "logreg", "svc", "bnb", "dt", "rf", "gb", "mlp", "xgb", "cat")
+    # per-model RandomizedSearchCV stage (reference :557-561); trials × folds
+    # run as batched device axes (bbbp_tpu.train.batched_search)
+    tune: bool = True
+    n_search_iter: int = 50
+    search_folds: int = 5
+
+
+# per-model search distributions mirroring the reference's param_distributions
+# (Models/model_opt_20250130.py:461-556), adapted to this zoo's parameters
+SEARCH_SPACES: Dict[str, Dict] = {
+    "knn": {"n_neighbors": {"low": 3, "high": 30, "int": True}},
+    "logreg": {"l2": {"low": 1e-3, "high": 1e2, "log": True}},
+    "svc": {"C": {"low": 1e-2, "high": 1e2, "log": True}},
+    "bnb": {"alpha": {"low": 1e-2, "high": 10.0, "log": True}},
+    "dt": {"n_estimators": [1], "learning_rate": [1.0],
+           "max_depth": [6, 10, 14]},
+    "rf": {"rf": [True], "n_estimators": [300], "max_depth": [8, 10, 12],
+           "colsample": {"low": 0.3, "high": 1.0}},
+    "gb": {"n_estimators": [300], "max_depth": [4, 6],
+           "learning_rate": {"low": 0.02, "high": 0.3, "log": True},
+           "subsample": {"low": 0.6, "high": 1.0}},
+    "xgb": {"n_estimators": [300], "max_depth": [4, 6, 8],
+            "learning_rate": {"low": 0.02, "high": 0.3, "log": True},
+            "subsample": {"low": 0.6, "high": 1.0},
+            "colsample": {"low": 0.5, "high": 1.0}},
+    "cat": {"oblivious": [True], "n_estimators": [300], "max_depth": [4, 6, 8],
+            "learning_rate": {"low": 0.02, "high": 0.3, "log": True}},
+    "mlp": {"hidden": [(64,), (128,), (256,), (128, 64)],
+            "lr": {"low": 3e-4, "high": 1e-2, "log": True},
+            "l2": {"low": 1e-6, "high": 1e-3, "log": True}, "n_steps": 800},
+}
+
+
+def _factory_from_params(name: str, p: Dict, seed: int) -> Callable[[], object]:
+    """Best-trial params → zoo factory."""
+    if name == "knn":
+        return lambda: KNeighborsClassifier(n_neighbors=int(p["n_neighbors"]))
+    if name == "logreg":
+        return lambda: LogisticRegression(C=1.0 / float(p["l2"]))
+    if name == "svc":
+        return lambda: LinearSVC(C=float(p["C"]))
+    if name == "bnb":
+        return lambda: BernoulliNB(alpha=float(p["alpha"]))
+    if name == "mlp":
+        return lambda: MLPClassifier(hidden=tuple(p["hidden"]),
+                                     n_steps=int(p.get("n_steps", 800)),
+                                     lr=float(p.get("lr", 1e-3)),
+                                     l2=float(p.get("l2", 0.0)), seed=seed)
+    if name == "rf":
+        return lambda: RandomForestClassifier(
+            n_estimators=int(p.get("n_estimators", 300)),
+            max_depth=int(p.get("max_depth", 10)),
+            colsample=float(p.get("colsample", 0.5)), seed=seed)
+    # dt / gb / xgb / cat → GBDT surrogates
+    return lambda: GBDTClassifier(
+        n_estimators=int(p.get("n_estimators", 300)),
+        learning_rate=float(p.get("learning_rate", 0.1)),
+        max_depth=int(p.get("max_depth", 6)),
+        subsample=float(p.get("subsample", 1.0)),
+        colsample=float(p.get("colsample", 1.0)),
+        oblivious=bool(p.get("oblivious", False)), seed=seed)
+
+
+def tune_zoo(x_tr: np.ndarray, y_tr: np.ndarray, names, cfg,
+             verbose: bool = True):
+    """RandomizedSearchCV(n_iter, StratifiedKFold, scoring={accuracy,
+    precision}, refit='accuracy') per base model (reference :557-561), with
+    the (trial, fold) grid batched on device. Returns (zoo factories,
+    per-model trial records, per-model wall-clock)."""
+    from bbbp_tpu.train.batched_search import batched_random_search
+
+    zoo = {}
+    trials = {}
+    walls = {}
+    for m in names:
+        t0 = time.time()
+        res = batched_random_search(
+            m, x_tr, y_tr, SEARCH_SPACES[m], n_iter=cfg.n_search_iter,
+            cv=cfg.search_folds, seed=cfg.seed, verbose=False)
+        walls[m] = time.time() - t0
+        zoo[m] = _factory_from_params(m, res.best_params, cfg.seed)
+        trials[m] = res.trials
+        if verbose:
+            print(f"[classification] tuned {m}: cv_acc={res.best_score:.4f} "
+                  f"{res.best_params} ({walls[m]:.1f}s for "
+                  f"{cfg.n_search_iter}x{cfg.search_folds} fits)")
+    return zoo, trials, walls
 
 
 def default_zoo(seed: int = 42) -> Dict[str, Callable[[], object]]:
@@ -108,10 +198,7 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
         x = fp.features[fp.ok_mask]
         y = data.labels[fp.ok_mask]
     rng = np.random.default_rng(cfg.seed)
-
-    x = np.asarray(StandardScaler().fit_transform(x))
     k = cfg.pca_dim if (isinstance(cfg.pca_dim, float) and 0 < cfg.pca_dim < 1)         else int(cfg.pca_dim)
-    x = np.asarray(PCA(k).fit_transform(x))
 
     def _resample(xx, yy):
         if cfg.resampler == "smotetomek":
@@ -123,21 +210,36 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
         return xx, yy
 
     if cfg.protocol == "reference":
-        # resample everything, then split (reference :393-402)
+        # scale+PCA on everything, resample everything, then split
+        # (reference :379-402 — synthetic SMOTE points reach the test set and
+        # the scaler/PCA see test rows; kept verbatim for metric parity)
+        x = np.asarray(StandardScaler().fit_transform(x))
+        x = np.asarray(PCA(k).fit_transform(x))
         xr, yr = _resample(x, y)
         perm = rng.permutation(len(yr))
         n_test = int(len(yr) * cfg.test_size)
         te, tr = perm[:n_test], perm[n_test:]
         x_tr, y_tr, x_te, y_te = xr[tr], yr[tr], xr[te], yr[te]
     else:
+        # honest: split FIRST on raw features; scaler and PCA are fit on the
+        # train split only; resampling touches the train split only
         perm = rng.permutation(len(y))
         n_test = int(len(y) * cfg.test_size)
         te, tr = perm[:n_test], perm[n_test:]
-        x_te, y_te = x[te], y[te]
-        x_tr, y_tr = _resample(x[tr], y[tr])
+        scaler = StandardScaler().fit(x[tr])
+        pca = PCA(k).fit(np.asarray(scaler.transform(x[tr])))
+        x_tr = np.asarray(pca.transform(np.asarray(scaler.transform(x[tr]))))
+        x_te = np.asarray(pca.transform(np.asarray(scaler.transform(x[te]))))
+        y_te = y[te]
+        x_tr, y_tr = _resample(x_tr, y[tr])
 
     zoo = default_zoo(cfg.seed)
     names = [m for m in cfg.models if m in zoo]
+    search_trials = None
+    if cfg.tune:
+        tuned, search_trials, _ = tune_zoo(x_tr, y_tr, names, cfg,
+                                           verbose=verbose)
+        zoo.update(tuned)
 
     # --- out-of-fold probabilities on the training set (for stacking) ---
     folds = kfold_indices(len(y_tr), cfg.stack_folds, cfg.seed)
@@ -187,7 +289,13 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
     test_proba["stacking"] = stack_p
 
     # --- AUC-weighted soft voting over all 10 (reference :654-655) ---
-    aucs = np.array([report[m]["roc_auc"] for m in names])
+    # The reference weights by TEST-set AUC (a quirk we keep under
+    # protocol='reference'); honest mode weights by the out-of-fold AUCs so
+    # nothing about the test split tunes the ensemble.
+    if cfg.protocol == "reference":
+        aucs = np.array([report[m]["roc_auc"] for m in names])
+    else:
+        aucs = np.array([metrics.roc_auc(y_tr, oof[m]) for m in names])
     w = aucs / aucs.sum()
     vote_p = sum(wi * test_proba[m] for wi, m in zip(w, names))
     report["voting"] = metrics.classification_report(
@@ -211,6 +319,17 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
             d, f"model_performance_metrics_{cfg.fp_kind}.csv"), report)
         plots.performance_bar_plot(report, os.path.join(
             d, f"performance_{cfg.fp_kind}.png"))
+        if search_trials:
+            from bbbp_tpu.reporting.metrics_io import write_trials_csv
+
+            for m, tr_rows in search_trials.items():
+                write_trials_csv(os.path.join(
+                    d, f"hyperparam_search_{m}.csv"), tr_rows)
+                try:
+                    plots.hyperparam_search_plots(
+                        tr_rows, os.path.join(d, f"hyperparam_search_{m}"))
+                except Exception:
+                    pass
         plots.confusion_matrix_plot(
             y_te, (test_proba["stacking"] > 0.5).astype(int),
             os.path.join(d, "confusion_stacking.png"))
@@ -244,10 +363,15 @@ def main():
     ap.add_argument("--out-dir", default=None)
     ap.add_argument("--resampler", default="smotetomek",
                     choices=["smotetomek", "smote", "none"])
+    ap.add_argument("--no-tune", action="store_true",
+                    help="skip the per-model RandomizedSearchCV stage")
+    ap.add_argument("--n-search-iter", type=int, default=50)
     args = ap.parse_args()
     cfg = ClassificationTrainConfig(fp_kind=args.fp_kind, protocol=args.protocol,
                                     pca_dim=args.pca_dim, workers=args.workers,
-                                    out_dir=args.out_dir, resampler=args.resampler)
+                                    out_dir=args.out_dir, resampler=args.resampler,
+                                    tune=not args.no_tune,
+                                    n_search_iter=args.n_search_iter)
     res = run_classification(cfg)
     print(json.dumps(res.report, indent=2))
     if args.out:

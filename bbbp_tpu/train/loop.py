@@ -83,6 +83,9 @@ def train_cv(
     n_seeds: int = 1,
     snapshot_from: Optional[int] = None,
     split_seed: Optional[int] = None,
+    patience: Optional[int] = None,
+    val_frac: float = 0.1,
+    fold_affine=None,
 ) -> CVResult:
     """Train `model(*inputs, train=)` on all folds at once; return OOF preds.
 
@@ -94,10 +97,31 @@ def train_cv(
     ONE jit; OOF = seed-average — a deep-ensemble at ~zero wall-clock cost),
     and ``snapshot_from`` additionally averages end-of-epoch prediction
     snapshots from that epoch onward (cheap SWA-style variance reduction).
+
+    ``patience`` enables B3-parity early stopping (reference:
+    Descriptors/multi_input_data_nn.py:39-143, patience-10 on validation
+    loss), batched: each fold carves ``val_frac`` of ITS OWN train split as a
+    validation set, per-fold best parameters are kept with masked tree-map
+    updates, and training stops when every fold has gone ``patience`` epochs
+    without improving. Final predictions use each fold's best-epoch params.
+
+    ``fold_affine``: optional tuple of per-input, per-fold (shift [K, ...],
+    scale [K, ...]) pairs (entries may be None); applied as (x - shift) *
+    scale inside the step. This is how the strict leak-free protocol feeds
+    per-fold standardization without materializing K copies of the data.
     """
     n = len(y)
     folds = kfold_indices(n, n_folds, split_seed if split_seed is not None else seed)
-    base_train_idx, s = _padded_train_sets(n, folds)           # [F, S]
+    base_train_idx, s0 = _padded_train_sets(n, folds)          # [F, S]
+    val_idx = None
+    if patience is not None:
+        # carve a per-fold validation block from the END of each train set
+        # (train sets are permutation-ordered, so this is a random subset)
+        n_val = max(8, int(s0 * val_frac))
+        val_idx = base_train_idx[:, s0 - n_val:]               # [F, n_val]
+        base_train_idx = base_train_idx[:, : s0 - n_val]
+        val_idx = np.concatenate([val_idx] * n_seeds, axis=0)  # [K, n_val]
+    s = base_train_idx.shape[1]
     # replicate folds across seeds along the same batched axis
     train_idx = np.concatenate([base_train_idx] * n_seeds, axis=0)  # [K, S]
     k = n_folds * n_seeds
@@ -107,6 +131,13 @@ def train_cv(
         jnp.asarray(a, jnp.bfloat16 if a.ndim >= 3 else jnp.float32)
         for a in inputs)
     y_d = jnp.asarray(y, jnp.float32)
+    if fold_affine is not None:
+        fold_affine = tuple(
+            None if fa is None else tuple(
+                jnp.asarray(np.concatenate([np.asarray(v)] * n_seeds, axis=0),
+                            inputs_d[i].dtype)
+                for v in fa)
+            for i, fa in enumerate(fold_affine))
 
     tx = make_optimizer(lr, weight_decay)
     root = jax.random.PRNGKey(seed)
@@ -152,6 +183,14 @@ def train_cv(
         inputs_d = tuple(jax.device_put(a, repl) for a in inputs_d)
         y_d = jax.device_put(y_d, repl)
 
+    def _apply_affine(batch, aff):
+        """(x - shift) * scale per input; aff entries may be None (static)."""
+        if aff is None:
+            return batch
+        return tuple(
+            b if a is None else (b - a[0]) * a[1]
+            for b, a in zip(batch, aff))
+
     # remat the forward: with folds×seeds batched on one device the CNN
     # activations dominate HBM; recomputing them in the backward trades ~30%
     # FLOPs for ~2× peak-memory headroom (jax.checkpoint)
@@ -172,9 +211,9 @@ def train_cv(
         pred, new_bs = _forward(p, bs, batch, rng)
         return jnp.mean((pred - y_b) ** 2), new_bs
 
-    def one_fold_step(carry, idx_b, rng):
+    def one_fold_step(carry, idx_b, rng, aff):
         p, bs, opt = carry
-        batch = tuple(a[idx_b] for a in inputs_d)
+        batch = _apply_affine(tuple(a[idx_b] for a in inputs_d), aff)
         y_b = y_d[idx_b]
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, bs, batch, y_b, rng)
@@ -183,27 +222,28 @@ def train_cv(
         return (new_p, new_bs, new_opt), loss
 
     @jax.jit
-    def train_epoch(params, batch_stats, opt_state, idx_ksb, rngs_ks):
+    def train_epoch(params, batch_stats, opt_state, idx_ksb, rngs_ks, affine):
         # vmap over folds, scan over steps
-        def fold_epoch(p, bs, opt, idx_sb, rng_s):
+        def fold_epoch(p, bs, opt, idx_sb, rng_s, aff):
             def body(carry, xs):
                 idx_b, rng = xs
-                return one_fold_step(carry, idx_b, rng)
+                return one_fold_step(carry, idx_b, rng, aff)
             (p, bs, opt), losses = jax.lax.scan(body, (p, bs, opt),
                                                 (idx_sb, rng_s))
             return p, bs, opt, losses.mean()
 
         return jax.vmap(fold_epoch)(params, batch_stats, opt_state,
-                                    idx_ksb, rngs_ks)
+                                    idx_ksb, rngs_ks, affine)
 
     @jax.jit
-    def predict_chunk(params, batch_stats, *chunk_inputs):
-        def fold_pred(p, bs):
+    def predict_chunk(params, batch_stats, affine, *chunk_inputs):
+        def fold_pred(p, bs, aff):
             variables = {"params": p}
             if bs:
                 variables["batch_stats"] = bs
-            return model.apply(variables, *chunk_inputs, train=False)
-        return jax.vmap(fold_pred)(params, batch_stats)        # [K, C]
+            return model.apply(variables,
+                               *_apply_affine(chunk_inputs, aff), train=False)
+        return jax.vmap(fold_pred)(params, batch_stats, affine)  # [K, C]
 
     def predict_all(params, batch_stats, chunk: int = 0):
         """Chunked [K, N] prediction — bounds activation memory.
@@ -216,9 +256,38 @@ def train_cv(
             jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in inputs_d)
         for start in range(0, n + pad, chunk):
             outs.append(predict_chunk(
-                params, batch_stats,
+                params, batch_stats, fold_affine,
                 *(a[start:start + chunk] for a in padded)))
         return jnp.concatenate(outs, axis=1)[:, :n]
+
+    # early stopping state: per-fold val gathers (device-resident once) +
+    # masked best-parameter tracking
+    if patience is not None:
+        val_inputs = tuple(a[jnp.asarray(val_idx)] for a in inputs_d)  # [K,V,..]
+        y_val = y_d[jnp.asarray(val_idx)]
+
+        @jax.jit
+        def val_losses(params, batch_stats, affine):
+            def f(p, bs, aff, *ins):
+                variables = {"params": p}
+                if bs:
+                    variables["batch_stats"] = bs
+                pred = model.apply(variables, *_apply_affine(ins, aff),
+                                   train=False)
+                return pred
+            pred = jax.vmap(f)(params, batch_stats, affine, *val_inputs)
+            return jnp.mean((pred - y_val) ** 2, axis=1)       # [K]
+
+        @jax.jit
+        def keep_best(improved, best_tree, cur_tree):
+            def upd(b, c):
+                m = improved.reshape((-1,) + (1,) * (c.ndim - 1))
+                return jnp.where(m, c, b)
+            return jax.tree.map(upd, best_tree, cur_tree)
+
+        best_val = np.full(k, np.inf, np.float32)
+        since_best = np.zeros(k, np.int32)
+        best_params, best_bs = params, batch_stats
 
     host_rng = np.random.default_rng(seed)
     losses_hist = np.zeros((k, epochs), dtype=np.float32)
@@ -239,8 +308,23 @@ def train_cv(
             perms_d = jax.device_put(perms_d, NamedSharding(mesh, P("data", None, None)))
             rngs = jax.device_put(rngs, NamedSharding(mesh, P("data", None, None)))
         params, batch_stats, opt_state, mean_loss = train_epoch(
-            params, batch_stats, opt_state, perms_d, rngs)
+            params, batch_stats, opt_state, perms_d, rngs, fold_affine)
         losses_hist[:, epoch] = np.asarray(mean_loss)
+        if patience is not None:
+            vl = np.asarray(val_losses(params, batch_stats, fold_affine))
+            improved = vl < best_val - 1e-5
+            best_val = np.where(improved, vl, best_val)
+            since_best = np.where(improved, 0, since_best + 1)
+            imp_d = jnp.asarray(improved)
+            best_params = keep_best(imp_d, best_params, params)
+            if batch_stats:
+                best_bs = keep_best(imp_d, best_bs, batch_stats)
+            if np.all(since_best >= patience):
+                if log_every:
+                    print(f"early stop at epoch {epoch+1} "
+                          f"(patience {patience}; val/fold "
+                          f"{best_val.round(4).tolist()})")
+                break
         if snapshot_from is not None and epoch + 1 >= snapshot_from:
             snap_sum += np.asarray(predict_all(params, batch_stats),
                                    dtype=np.float32)
@@ -249,6 +333,8 @@ def train_cv(
             print(f"epoch {epoch+1}/{epochs} loss/fold: "
                   f"{np.asarray(mean_loss).round(4).tolist()}")
 
+    if patience is not None:
+        params, batch_stats = best_params, best_bs
     if snap_count:
         preds_kn = snap_sum / snap_count
     else:

@@ -1,5 +1,5 @@
 """Final regression pipeline (family B7): 10-fold CV of the multimodal NN +
-three forest surrogates, OOF stacking with a linear meta-learner.
+graph NN + forest surrogates, OOF stacking with a linear meta-learner.
 
 Reference protocol (Models/multi_input_data_regression_opt_transformer_cnn_20250113.py:130-415):
 per fold train the Transformer+CNN net (50 epochs), RF(300, d30),
@@ -8,10 +8,24 @@ model's test-fold predictions into OOF arrays; fit
 StackingRegressor(final=LinearRegression) on the [N, 4] OOF matrix; report
 MSE/R² of the stacked prediction over the whole OOF set.
 
-TPU redesign: the NN trains all folds at once (bbbp_tpu.train.loop); the three
-tree legs use the tensorized forest engine (RF / GBDT / oblivious-GBDT as the
-XGB / CatBoost surrogates) with TPU inference; the meta-learner is the JAX
-closed-form LinearRegression.
+TPU redesign: the NN trains all folds at once (bbbp_tpu.train.loop); an
+edge-featured MPNN graph leg (models.gnn) trains the same way; the tree legs
+use the tensorized forest engine (RF / GBDT / oblivious-GBDT as the XGB /
+CatBoost surrogates), seed-bagged, with TPU inference; the meta-learner is the
+JAX closed-form LinearRegression.
+
+Protocols (SURVEY §2.3 quirks + ADVICE round-1 leakage findings):
+- ``compat``  — per-100-row standardization on the label-correlated row order
+  (the reference's published-artifact pipeline; leaks heavily, kept for parity).
+- ``honest``  — one global scaler/PCA fit over all rows before the fold split
+  (the reference's *structure* minus the per-batch quirk; the remaining
+  transductive leak is unsupervised-only). Meta-learner fit in-sample on the
+  OOF matrix like the reference (:394-403); a cross-fitted stacked metric is
+  reported alongside.
+- ``strict``  — NO test-row influence anywhere: scaler/PCA/aux-PCA are re-fit
+  per fold on train rows only (NN inputs via per-fold affine transforms inside
+  the batched loop — no K data copies), and the reported stacked metric is the
+  cross-fitted one.
 """
 
 from __future__ import annotations
@@ -19,22 +33,23 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from dataclasses import dataclass, field
-from typing import Dict, Optional
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from bbbp_tpu.models.transformer_cnn import MultiModalRegressor
-from bbbp_tpu.ops import metrics
+from bbbp_tpu.ops import PCA, StandardScaler, metrics
 from bbbp_tpu.ops.forest_tpu import TPUGBDTRegressor as GBDTRegressor, TPURandomForestRegressor as RandomForestRegressor
-from bbbp_tpu.ops.linear import LinearRegression, Ridge
+from bbbp_tpu.ops.linear import LinearRegression, Ridge, KNeighborsRegressor
 from bbbp_tpu.pipelines.preprocess import PreprocessConfig, ProcessedData, preprocess_regression
-from bbbp_tpu.train.loop import train_multimodal_cv, kfold_indices
+from bbbp_tpu.train.loop import train_cv, kfold_indices
 
 
 @dataclass
 class RegressionTrainConfig:
     fp_kind: str = "maccs"
+    protocol: str = "honest"     # compat | honest | strict (see module doc)
     n_folds: int = 10
     epochs: int = 50
     batch_size: int = 32
@@ -45,7 +60,15 @@ class RegressionTrainConfig:
     nn_input: str = "norm"       # norm | pca — B8's PCA-compressed variant
     nn_seeds: int = 3            # deep-ensemble width on the batched fold axis
     snapshot_from: Optional[int] = 30   # SWA-style epoch snapshot averaging
+    patience: Optional[int] = None      # B3 early stopping (disables snapshots)
     seed: int = 42
+    # graph leg: edge-featured MPNN over the own graph featurizer
+    graph_leg: bool = True
+    graph_epochs: int = 60
+    graph_seeds: int = 2
+    graph_hidden: int = 128
+    graph_layers: int = 4
+    max_atoms: int = 128
     # forest legs (reference hyperparameters :262-391, re-tuned for the engine)
     rf_trees: int = 300
     rf_depth: int = 10
@@ -55,11 +78,17 @@ class RegressionTrainConfig:
     cat_trees: int = 300
     cat_lr: float = 0.03
     cat_depth: int = 6
+    tree_seeds: int = 3          # seed-bagged forests per fold
+    tree_raw_fp: bool = False    # feed trees the raw wide fingerprint bits
+                                 # instead of a PCA-256 compression (the
+                                 # engine trains at any width since the
+                                 # scatter-budget fix; ablations still favor
+                                 # compressed for wide fps, so default off)
     meta: str = "linear"          # linear | ridge
     extra_legs: bool = True       # + kNN and ridge OOF legs (B9-style pool)
     out_dir: Optional[str] = None  # write plots/CSVs/model artifacts here
     image_size: int = 128
-    compat_batch: Optional[int] = None
+    compat_batch: Optional[int] = None   # set automatically for protocol=compat
     workers: Optional[int] = None
 
 
@@ -72,20 +101,19 @@ class RegressionRunResult:
     wall_time_s: float
 
 
-def _tree_features(d: ProcessedData) -> np.ndarray:
-    """Tree-leg feature matrix. The reference feeds trees hstack(fp, flat 49k
-    image) (:263); here: physchem descriptors + normalized fp + aux-fp PCA +
-    image PCA (ablation: descriptors alone reach R²≈0.58; enriched set beats
-    any fingerprint-only combination).
+def _tree_features_global(d: ProcessedData, raw_fp: bool = False) -> np.ndarray:
+    """Tree-leg feature matrix, transforms fit globally (honest/compat
+    protocols). The reference feeds trees hstack(fp, flat 49k image) (:263);
+    here: physchem descriptors + normalized fp + aux-fp PCA + image PCA
+    (ablation: descriptors alone reach R²≈0.58; the enriched set beats any
+    fingerprint-only combination).
 
-    Wide fingerprints (Morgan/path 2048) are PCA-compressed to 256 for the
-    tree legs: >2.1k-wide histogram jobs have tripped TPU-worker faults on
-    the tunnel, and the ablations show wide raw bits underperform compressed
-    ones for trees anyway."""
+    Wide fingerprints (Morgan/path 2048) default to a PCA-256 compression for
+    the tree legs — ablations show compressed beats raw bits for trees —
+    but ``raw_fp=True`` feeds the raw bits (the engine trains at any width
+    since the scatter-budget fix, ops/forest_tpu.py)."""
     x = d.tree_features()
-    if d.fp_norm.shape[1] > 1024:
-        from bbbp_tpu.ops import PCA
-
+    if d.fp_norm.shape[1] > 1024 and not raw_fp:
         fp_c = np.asarray(PCA(256).fit_transform(d.fp_norm))
         blocks = [fp_c, d.fp_pca, d.img_pca]
         if d.desc_norm is not None:
@@ -96,79 +124,214 @@ def _tree_features(d: ProcessedData) -> np.ndarray:
     return x
 
 
+def _tree_features_strict(d: ProcessedData, folds: List[np.ndarray],
+                          pca_dim: int, aux_pca_dim: int,
+                          raw_fp: bool = False) -> List[np.ndarray]:
+    """Per-fold tree features: scaler + PCA fit on that fold's TRAIN rows
+    only, then applied to all rows. Returns one [N, D] matrix per fold."""
+    n = len(d.y)
+    joint = np.concatenate([d.fp_raw, d.img_raw], axis=1)
+    d_fp = d.fp_raw.shape[1]
+    out = []
+    for i, te in enumerate(folds):
+        tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
+        sc = StandardScaler().fit(joint[tr])
+        jn = np.asarray(sc.transform(joint))
+        fp_n, img_n = jn[:, :d_fp], jn[:, d_fp:]
+        fp_p = np.asarray(PCA(pca_dim).fit(fp_n[tr]).transform(fp_n))
+        img_p = np.asarray(PCA(pca_dim).fit(img_n[tr]).transform(img_n))
+        blocks = []
+        if d.desc_raw is not None:
+            dsc = StandardScaler().fit(d.desc_raw[tr])
+            blocks.append(np.asarray(dsc.transform(d.desc_raw)))
+        if fp_n.shape[1] > 1024 and not raw_fp:
+            blocks.append(np.asarray(
+                PCA(256).fit(fp_n[tr]).transform(fp_n)))
+        else:
+            blocks.append(fp_n)
+        blocks += [fp_p, img_p]
+        if d.aux_fp_raw:
+            for kind, raw in d.aux_fp_raw.items():
+                asc = StandardScaler().fit(raw[tr])
+                an = np.asarray(asc.transform(raw))
+                k = min(aux_pca_dim, len(tr), an.shape[1])
+                blocks.append(np.asarray(PCA(k).fit(an[tr]).transform(an)))
+        out.append(np.concatenate(blocks, axis=1).astype(np.float32))
+    return out
+
+
+def _fold_affine_from(raw_blocks, folds, n_seedless_folds):
+    """Per-fold (mean, 1/std) for each raw input block (train rows only)."""
+    aff = []
+    for raw in raw_blocks:
+        if raw is None:
+            aff.append(None)
+            continue
+        flat = raw.reshape(len(raw), -1)
+        means, inv = [], []
+        for i in range(n_seedless_folds):
+            tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
+            mu = flat[tr].mean(0)
+            sd = flat[tr].std(0)
+            means.append(mu)
+            inv.append(1.0 / np.maximum(sd, 1e-6))
+        shape = raw.shape[1:]
+        aff.append((np.stack(means).reshape((-1,) + shape),
+                    np.stack(inv).reshape((-1,) + shape)))
+    return tuple(aff)
+
+
+def _crossfit_stack(stack_x: np.ndarray, y: np.ndarray,
+                    folds: List[np.ndarray], meta_ctor) -> np.ndarray:
+    """Cross-fitted meta-learner: fold i's stacked prediction comes from a
+    meta model fit on the OTHER folds' OOF rows (no in-sample meta fit)."""
+    out = np.zeros(len(y), np.float32)
+    for i, te in enumerate(folds):
+        tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
+        m = meta_ctor().fit(stack_x[tr], y[tr])
+        out[te] = np.asarray(m.predict(stack_x[te]))
+    return out
+
+
 def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                    data: Optional[ProcessedData] = None,
                    verbose: bool = True) -> RegressionRunResult:
     t0 = time.time()
+    strict = cfg.protocol == "strict"
+    compat_batch = cfg.compat_batch
+    if cfg.protocol == "compat" and compat_batch is None:
+        compat_batch = 100
     if data is None:
         data = preprocess_regression(PreprocessConfig(
             fp_kind=cfg.fp_kind, image_size=cfg.image_size,
-            compat_batch=cfg.compat_batch, workers=cfg.workers, seed=cfg.seed))
+            compat_batch=compat_batch, workers=cfg.workers, seed=cfg.seed,
+            keep_raw=strict))
     n = len(data.y)
     y = data.y
-    img = data.img_norm.reshape(n, cfg.image_size, cfg.image_size, 3)
+    folds = kfold_indices(n, cfg.n_folds, cfg.seed)
 
-    nn_fp = (np.concatenate([data.fp_pca, data.img_pca], axis=1).astype(np.float32)
-             if cfg.nn_input == "pca" else data.nn_fp_features())
+    # ---------------- NN leg (Transformer+CNN, batched folds) --------------
+    fold_affine = None
+    if strict:
+        if data.fp_raw is None:
+            raise ValueError("strict protocol needs preprocess(keep_raw=True)")
+        nn_fp = (np.concatenate([data.fp_raw, data.desc_raw], axis=1)
+                 if data.desc_raw is not None else data.fp_raw)
+        img = data.img_raw.reshape(n, cfg.image_size, cfg.image_size, 3)
+        fold_affine = _fold_affine_from([nn_fp, img], folds, cfg.n_folds)
+    else:
+        nn_fp = (np.concatenate([data.fp_pca, data.img_pca], axis=1
+                                ).astype(np.float32)
+                 if cfg.nn_input == "pca" else data.nn_fp_features())
+        img = data.img_norm.reshape(n, cfg.image_size, cfg.image_size, 3)
     model = MultiModalRegressor(
         fp_dim=nn_fp.shape[1], n_layers=cfg.n_layers,
         fusion=cfg.fusion, fp_tokens=cfg.fp_tokens)
     if verbose:
-        print(f"[regression] N={n} fp={nn_fp.shape} training NN "
-              f"({cfg.n_folds} folds x {cfg.epochs} epochs, all folds batched)...")
+        print(f"[regression] N={n} fp={nn_fp.shape} protocol={cfg.protocol} "
+              f"training NN ({cfg.n_folds} folds x {cfg.epochs} epochs, "
+              f"all folds batched)...")
     # seed replicas run sequentially (fold axis alone already fills the chip;
     # the jit is compile-cached across replicas) and OOF-average — identical
     # folds via split_seed
     nn_res = None
     oof_acc = None
     for r in range(max(1, cfg.nn_seeds)):
-        res_r = train_multimodal_cv(
-            model, nn_fp, img, y, n_folds=cfg.n_folds, epochs=cfg.epochs,
+        res_r = train_cv(
+            model, (nn_fp, img), y, n_folds=cfg.n_folds, epochs=cfg.epochs,
             batch_size=cfg.batch_size, lr=cfg.lr, seed=cfg.seed + 1000 * r,
-            split_seed=cfg.seed, snapshot_from=cfg.snapshot_from,
+            split_seed=cfg.seed,
+            snapshot_from=None if cfg.patience else cfg.snapshot_from,
+            patience=cfg.patience, fold_affine=fold_affine,
             log_every=(10 if verbose and r == 0 else 0))
         oof_acc = res_r.oof_pred if oof_acc is None else oof_acc + res_r.oof_pred
         nn_res = res_r
     nn_res.oof_pred = oof_acc / max(1, cfg.nn_seeds)
-
     folds = nn_res.fold_test_idx
-    xt = _tree_features(data)
+
     leg_names = ["nn", "rf", "gbdt", "cat"]
+    if cfg.graph_leg:
+        leg_names.insert(1, "graph")
     if cfg.extra_legs:
         leg_names += ["knn", "ridge"]
     oof = {m: np.zeros(n, np.float32) for m in leg_names}
     oof["nn"] = nn_res.oof_pred
-    from bbbp_tpu.ops.linear import KNeighborsRegressor
+
+    # ---------------- graph leg (edge-featured MPNN) -----------------------
+    if cfg.graph_leg:
+        from bbbp_tpu.chem.graph_features import graph_features
+        from bbbp_tpu.models.gnn import MPNNRegressor
+
+        if verbose:
+            print("[regression] graph leg (MPNN, batched folds)...")
+        feats, _, adj_t, mask, bad = graph_features(
+            data.smiles, max_atoms=cfg.max_atoms, edge_types=True)
+        gmodel = MPNNRegressor(hidden=cfg.graph_hidden,
+                               n_layers=cfg.graph_layers)
+        g_acc = None
+        for r in range(max(1, cfg.graph_seeds)):
+            g_res = train_cv(
+                gmodel, (feats, adj_t, mask), y, n_folds=cfg.n_folds,
+                epochs=cfg.graph_epochs, batch_size=cfg.batch_size, lr=1e-3,
+                seed=cfg.seed + 2000 + 1000 * r, split_seed=cfg.seed,
+                snapshot_from=None if cfg.patience else max(
+                    1, cfg.graph_epochs - 15),
+                patience=cfg.patience,
+                log_every=(20 if verbose and r == 0 else 0))
+            g_acc = g_res.oof_pred if g_acc is None else g_acc + g_res.oof_pred
+        oof["graph"] = g_acc / max(1, cfg.graph_seeds)
+
+    # ---------------- tree + shallow legs (per fold) -----------------------
+    if strict:
+        xt_folds = _tree_features_strict(
+            data, folds, data.config.pca_dim, data.config.aux_pca_dim,
+            raw_fp=cfg.tree_raw_fp)
+    else:
+        xt_global = _tree_features_global(data, raw_fp=cfg.tree_raw_fp)
     for i, te in enumerate(folds):
         tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
+        xt = xt_folds[i] if strict else xt_global
         if verbose:
             print(f"[regression] fold {i+1}/{len(folds)} tree legs...")
-        rf = RandomForestRegressor(n_estimators=cfg.rf_trees,
-                                   max_depth=cfg.rf_depth,
-                                   seed=cfg.seed + i).fit(xt[tr], y[tr])
-        oof["rf"][te] = rf.predict(xt[te])
-        gb = GBDTRegressor(n_estimators=cfg.gbdt_trees, learning_rate=cfg.gbdt_lr,
-                           max_depth=cfg.gbdt_depth, subsample=0.8,
-                           seed=cfg.seed + i).fit(xt[tr], y[tr])
-        oof["gbdt"][te] = gb.predict(xt[te])
-        cat = GBDTRegressor(n_estimators=cfg.cat_trees, learning_rate=cfg.cat_lr,
-                            max_depth=cfg.cat_depth, oblivious=True,
-                            subsample=0.8, seed=cfg.seed + i).fit(xt[tr], y[tr])
-        oof["cat"][te] = cat.predict(xt[te])
+        for s in range(max(1, cfg.tree_seeds)):
+            sd = cfg.seed + i + 101 * s
+            rf = RandomForestRegressor(n_estimators=cfg.rf_trees,
+                                       max_depth=cfg.rf_depth,
+                                       seed=sd).fit(xt[tr], y[tr])
+            oof["rf"][te] += rf.predict(xt[te])
+            gb = GBDTRegressor(n_estimators=cfg.gbdt_trees,
+                               learning_rate=cfg.gbdt_lr,
+                               max_depth=cfg.gbdt_depth, subsample=0.8,
+                               seed=sd).fit(xt[tr], y[tr])
+            oof["gbdt"][te] += gb.predict(xt[te])
+            cat = GBDTRegressor(n_estimators=cfg.cat_trees,
+                                learning_rate=cfg.cat_lr,
+                                max_depth=cfg.cat_depth, oblivious=True,
+                                subsample=0.8, seed=sd).fit(xt[tr], y[tr])
+            oof["cat"][te] += cat.predict(xt[te])
+        for m in ("rf", "gbdt", "cat"):
+            oof[m][te] /= max(1, cfg.tree_seeds)
         if cfg.extra_legs:
             oof["knn"][te] = KNeighborsRegressor(10).fit(xt[tr], y[tr]).predict(xt[te])
             oof["ridge"][te] = Ridge(10.0).fit(xt[tr], y[tr]).predict(xt[te])
 
+    # ---------------- stacking ---------------------------------------------
     stack_x = np.stack([oof[k] for k in leg_names], axis=1)
-    meta = Ridge(1.0) if cfg.meta == "ridge" else LinearRegression()
-    meta.fit(stack_x, y)
-    stacked = meta.predict(stack_x)
+    meta_ctor = (lambda: Ridge(1.0)) if cfg.meta == "ridge" else LinearRegression
+    meta = meta_ctor().fit(stack_x, y)
+    stacked_insample = np.asarray(meta.predict(stack_x))
+    stacked_cv = _crossfit_stack(stack_x, y, folds, meta_ctor)
+    # the headline "stacked" prediction: in-sample meta fit for compat/honest
+    # (the reference's protocol, :394-403), cross-fitted for strict
+    stacked = stacked_cv if strict else stacked_insample
 
     report = {k: metrics.regression_report(y, v) for k, v in oof.items()}
     report["stacked"] = metrics.regression_report(y, stacked)
+    report["stacked_insample"] = metrics.regression_report(y, stacked_insample)
+    report["stacked_crossfit"] = metrics.regression_report(y, stacked_cv)
     if verbose:
         for k, r in report.items():
-            print(f"[regression] {k:8s} R2={r['r2']:.4f} MSE={r['mse']:.4f}")
+            print(f"[regression] {k:17s} R2={r['r2']:.4f} MSE={r['mse']:.4f}")
     if cfg.out_dir:
         _write_artifacts(cfg, data, nn_res, oof, stacked, y, report)
     return RegressionRunResult(oof, stacked, y, report, time.time() - t0)
@@ -204,19 +367,33 @@ def _write_artifacts(cfg, data, nn_res, oof, stacked, y, report):
 def main():
     ap = argparse.ArgumentParser(description="B3DB multimodal regression (B7)")
     ap.add_argument("--fp-kind", default="maccs", choices=["morgan", "maccs", "rdkit"])
+    ap.add_argument("--protocol", default="honest",
+                    choices=["compat", "honest", "strict"])
     ap.add_argument("--folds", type=int, default=10)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--fusion", default="multihead",
                     choices=["multihead", "gate", "crossmodal"])
     ap.add_argument("--meta", default="linear", choices=["linear", "ridge"])
+    ap.add_argument("--patience", type=int, default=None)
+    ap.add_argument("--no-graph-leg", action="store_true")
+    ap.add_argument("--tree-seeds", type=int, default=3)
+    ap.add_argument("--nn-seeds", type=int, default=3)
+    ap.add_argument("--compat-batch", type=int, default=None,
+                    help="per-batch scaler quirk (implied by --protocol compat)")
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--out", default=None, help="write metrics JSON here")
     ap.add_argument("--out-dir", default=None, help="write plots/models here")
     args = ap.parse_args()
-    cfg = RegressionTrainConfig(fp_kind=args.fp_kind, n_folds=args.folds,
+    cfg = RegressionTrainConfig(fp_kind=args.fp_kind, protocol=args.protocol,
+                                n_folds=args.folds,
                                 epochs=args.epochs, lr=args.lr,
                                 fusion=args.fusion, meta=args.meta,
+                                patience=args.patience,
+                                graph_leg=not args.no_graph_leg,
+                                tree_seeds=args.tree_seeds,
+                                nn_seeds=args.nn_seeds,
+                                compat_batch=args.compat_batch,
                                 out_dir=args.out_dir, workers=args.workers)
     res = run_regression(cfg)
     print(json.dumps({k: v for k, v in res.report.items()}, indent=2))

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-PAD, CLS, UNK = 0, 1, 2
+PAD, CLS, UNK, MASK = 0, 1, 2, 3
 _SMILES_TOKEN_RE = re.compile(
     r"(\[[^\]]+\]|Br|Cl|Si|Se|se|@@|@|==|[BCNOPSFIbcnops]|\d|%\d\d|[=#$:\-+\\/().*~])"
 )
@@ -39,7 +39,8 @@ class SmilesTokenizer:
 
     def __init__(self, max_len: int = 128):
         self.max_len = max_len
-        self.vocab: Dict[str, int] = {"[PAD]": PAD, "[CLS]": CLS, "[UNK]": UNK}
+        self.vocab: Dict[str, int] = {"[PAD]": PAD, "[CLS]": CLS, "[UNK]": UNK,
+                                      "[MASK]": MASK}
 
     def _split(self, text: str) -> List[str]:
         return _SMILES_TOKEN_RE.findall(text)
@@ -96,7 +97,12 @@ class BertEncoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, ids, train: bool = False):
+    def __call__(self, ids, train: bool = False, mlm: bool = False):
+        """``mlm=False`` → [B, n_classes] classification logits from the CLS
+        pooler; ``mlm=True`` → [B, L, vocab] per-position token logits (the
+        masked-language-model pretraining head; the transformer trunk
+        parameters are shared between the two heads by name, so a pretrained
+        trunk drops straight into the classifier — train/bert_pretrain)."""
         mask = (ids != PAD)
         x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
                      name="tok_emb")(ids)
@@ -106,19 +112,25 @@ class BertEncoder(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         attn_mask = mask[:, None, None, :] & mask[:, None, :, None]
         for i in range(self.n_layers):
-            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"ln_a{i}")(x)
             a = nn.MultiHeadDotProductAttention(
                 num_heads=self.n_heads, dtype=self.dtype,
                 dropout_rate=self.dropout, deterministic=not train,
                 name=f"attn{i}")(h, h, mask=attn_mask)
             x = x + a
-            h = nn.LayerNorm(dtype=self.dtype)(x)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"ln_f{i}")(x)
             f = nn.Dense(self.d_ff, dtype=self.dtype, name=f"ff{i}_1")(h)
             f = nn.gelu(f)
             f = nn.Dense(self.d_model, dtype=self.dtype, name=f"ff{i}_2")(f)
             f = nn.Dropout(self.dropout, deterministic=not train)(f)
             x = x + f
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
+        if mlm:
+            h = nn.Dense(self.d_model, dtype=self.dtype, name="mlm_dense")(x)
+            h = nn.gelu(h)
+            h = nn.LayerNorm(dtype=self.dtype, name="mlm_ln")(h)
+            return nn.Dense(self.vocab_size, dtype=jnp.float32,
+                            name="mlm_head")(h.astype(jnp.float32))
         cls = x[:, 0]
         pooled = jnp.tanh(nn.Dense(self.d_model, dtype=self.dtype,
                                    name="pooler")(cls))
@@ -127,15 +139,32 @@ class BertEncoder(nn.Module):
         return logits
 
 
+def merge_pretrained(init_params, pretrained):
+    """Copy every pretrained leaf whose path+shape matches into a freshly
+    initialised tree (the trunk transfers; absent heads stay fresh)."""
+    def merge(a, b):
+        if isinstance(a, dict):
+            return {k: (merge(a[k], b[k]) if isinstance(b, dict) and k in b
+                        else a[k]) for k in a}
+        if hasattr(a, "shape") and hasattr(b, "shape") and a.shape == b.shape:
+            return b
+        return a
+    return merge(init_params, pretrained)
+
+
 class BertClassifier:
     """sklearn-compatible wrapper (fit/predict/predict_proba/score/evaluate/
     save/load/get_params/set_params) — the SklearnBertClassifier equivalent
-    (reference: Models/model_train_bert.py:57-158)."""
+    (reference: Models/model_train_bert.py:57-158). ``pretrained_dir`` loads
+    an MLM-pretrained encoder directory (train.bert_pretrain) and fine-tunes
+    it — the TPU-native equivalent of the reference starting from pretrained
+    ``bert-base-uncased`` (:57-94)."""
 
     def __init__(self, epochs: int = 3, batch_size: int = 32, lr: float = 2e-4,
                  n_layers: int = 4, d_model: int = 128, n_heads: int = 4,
                  max_len: int = 128, input_mode: str = "smiles",
-                 warmup_frac: float = 0.1, seed: int = 0):
+                 warmup_frac: float = 0.1, seed: int = 0,
+                 pretrained_dir: Optional[str] = None):
         self.epochs = epochs
         self.batch_size = batch_size
         self.lr = lr
@@ -146,6 +175,7 @@ class BertClassifier:
         self.input_mode = input_mode     # smiles | compat_vector
         self.warmup_frac = warmup_frac
         self.seed = seed
+        self.pretrained_dir = pretrained_dir
         self.tokenizer: Optional[SmilesTokenizer] = None
         self.params_ = None
         self.model: Optional[BertEncoder] = None
@@ -154,7 +184,8 @@ class BertClassifier:
     def get_params(self, deep: bool = True):
         return {k: getattr(self, k) for k in
                 ("epochs", "batch_size", "lr", "n_layers", "d_model",
-                 "n_heads", "max_len", "input_mode", "warmup_frac", "seed")}
+                 "n_heads", "max_len", "input_mode", "warmup_frac", "seed",
+                 "pretrained_dir")}
 
     def set_params(self, **p):
         for k, v in p.items():
@@ -172,9 +203,23 @@ class BertClassifier:
 
         texts = self._texts(x)
         y = np.asarray(y, np.int32)
-        tok_cls = NumberStringTokenizer if self.input_mode == "compat_vector" \
-            else SmilesTokenizer
-        self.tokenizer = tok_cls(self.max_len).fit(texts)
+        pretrained_params = None
+        if self.pretrained_dir:
+            # fixed vocabulary + architecture from the pretrained directory
+            import pickle
+
+            with open(os.path.join(self.pretrained_dir, "config.json")) as f:
+                pcfg = json.load(f)
+            for k in ("n_layers", "d_model", "n_heads", "max_len"):
+                setattr(self, k, pcfg[k])
+            with open(os.path.join(self.pretrained_dir, "tokenizer.json")) as f:
+                self.tokenizer = SmilesTokenizer.from_json(f.read())
+            with open(os.path.join(self.pretrained_dir, "params.pkl"), "rb") as f:
+                pretrained_params = pickle.load(f)
+        else:
+            tok_cls = (NumberStringTokenizer
+                       if self.input_mode == "compat_vector" else SmilesTokenizer)
+            self.tokenizer = tok_cls(self.max_len).fit(texts)
         ids = self.tokenizer.encode_batch(texts)
         self.model = BertEncoder(
             vocab_size=self.tokenizer.vocab_size, n_layers=self.n_layers,
@@ -199,6 +244,12 @@ class BertClassifier:
             return variables["params"], tx.init(variables["params"])
 
         params, opt_state = init_fn(root, jnp.asarray(ids[:2]))
+        if pretrained_params is not None:
+            params = jax.tree.map(jnp.asarray,
+                                  merge_pretrained(
+                                      jax.tree.map(np.asarray, params),
+                                      pretrained_params))
+            opt_state = tx.init(params)
 
         @jax.jit
         def train_step(params, opt_state, ids_b, y_b, rng):

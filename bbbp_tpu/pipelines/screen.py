@@ -106,7 +106,25 @@ class ScreeningModel:
             s["pca_components"], ens, s["fp_kind"], s["n_bits"], s["threshold"])
 
 
-def _make_device_fn(model: ScreeningModel):
+def _shard_over_data(fn, mesh):
+    """Wrap a per-molecule device fn in shard_map over the mesh 'data' axis
+    (needed because XLA cannot auto-partition pallas_call; the computation is
+    embarrassingly molecule-parallel, so no collectives appear)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+
+        return jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data"),
+                                 out_specs=P("data")))
+    except (ImportError, TypeError):         # older jax API
+        from jax.experimental.shard_map import shard_map
+
+        return jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data"),
+                                 out_specs=P("data"), check_rep=False))
+
+
+def _make_device_fn(model: ScreeningModel, mesh=None):
     """One jit: standardize → PCA project → forest margin → probability.
     The scaler+PCA fold into a single fused matmul epilogue on the MXU."""
     sm = jnp.asarray(model.scaler_mean)
@@ -115,17 +133,16 @@ def _make_device_fn(model: ScreeningModel):
     pc = jnp.asarray(model.pca_components.T)          # [d, k]
     ens = model.ensemble
 
-    @jax.jit
     def run(fp_chunk):
         x = (fp_chunk - sm) / ss
         z = (x - pm) @ pc
         margin = ens.raw_predict(z)
         return jax.nn.sigmoid(margin)
 
-    return run
+    return _shard_over_data(run, mesh) if mesh is not None else jax.jit(run)
 
 
-def _make_packed_device_fn(model: ScreeningModel):
+def _make_packed_device_fn(model: ScreeningModel, mesh=None):
     """Packed-bit path: uint32 words in, Pallas unpack+projection matmul,
     forest margin, probability — 32× smaller H2D transfers."""
     from bbbp_tpu.ops.bitops import packed_project, project_weights
@@ -136,12 +153,11 @@ def _make_packed_device_fn(model: ScreeningModel):
     ens = model.ensemble
     use_pallas = jax.devices()[0].platform not in ("cpu",)
 
-    @jax.jit
     def run(packed_chunk):
         z = packed_project(packed_chunk, w_d, c0_d, use_pallas=use_pallas)
         return jax.nn.sigmoid(ens.raw_predict(z))
 
-    return run
+    return _shard_over_data(run, mesh) if mesh is not None else jax.jit(run)
 
 
 @dataclass
@@ -160,9 +176,14 @@ class ScreenStats:
 def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
            out_csv: Optional[str] = "virtual_screening_results.csv",
            chunk_size: int = 8192, workers: Optional[int] = None,
-           verbose: bool = False) -> ScreenStats:
+           verbose: bool = False, mesh=None) -> ScreenStats:
     """Stream screening with host featurization overlapped against device
-    inference (double-buffered producer thread)."""
+    inference (double-buffered producer thread).
+
+    ``mesh``: optional jax.sharding.Mesh with a 'data' axis — each chunk's
+    molecule axis shards across the mesh (weights replicate), so a v5e-8
+    screens 8 chunk-shards per dispatch. Proven on the CPU-sim mesh in
+    tests/test_screen_mesh.py."""
     packed_mode = False
     if model.fp_kind in ("morgan", "rdkit"):
         try:
@@ -171,7 +192,15 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
             packed_mode = nb.available()
         except ImportError:
             packed_mode = False
-    run = _make_packed_device_fn(model) if packed_mode else _make_device_fn(model)
+    run = (_make_packed_device_fn(model, mesh) if packed_mode
+           else _make_device_fn(model, mesh))
+    data_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sharding = NamedSharding(mesh, P("data"))
+        if chunk_size % mesh.shape["data"] != 0:
+            raise ValueError("chunk_size must divide the mesh 'data' axis")
     t_start = time.time()
     feat_time = 0.0
     dev_time = 0.0
@@ -233,7 +262,10 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
             feats = np.concatenate(
                 [feats, np.zeros((chunk_size - n_real,) + feats.shape[1:],
                                  feats.dtype)])
-        fut = run(jnp.asarray(feats))   # async dispatch; don't block here
+        arr = jnp.asarray(feats)
+        if data_sharding is not None:
+            arr = jax.device_put(arr, data_sharding)
+        fut = run(arr)   # async dispatch; don't block here
         dev_time += time.time() - t0
         pending.append((smiles, ids, bad, fut))
         if len(pending) < 2:

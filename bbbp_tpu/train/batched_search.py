@@ -58,6 +58,17 @@ def _masked_scores(proba_kv, y_kv, mask_kv):
     return acc, prec
 
 
+def _masked_r2(pred_kv, y_kv, mask_kv):
+    """(R², -MSE) over the whole masked (fold, val) grid — the out-of-fold
+    metric the regression pipeline reports."""
+    m = mask_kv
+    n = m.sum()
+    mse = (((pred_kv - y_kv) ** 2) * m).sum() / n
+    mu = (y_kv * m).sum() / n
+    var = (((y_kv - mu) ** 2) * m).sum() / n
+    return 1.0 - mse / jnp.maximum(var, 1e-12), -mse
+
+
 # ---------------------------------------------------------------------------
 # per-family fit kernels (pure functions of traced hyperparameters)
 # ---------------------------------------------------------------------------
@@ -223,14 +234,19 @@ def _knn_cv(x, y, tr_idx, va_idx, va_mask, ks: Sequence[int]):
 
 def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
                verbose: bool = False):
-    """Forest trials grouped by static (n_estimators, depth, oblivious, rf);
-    each group = one jit, vmapped over trials × folds with traced
-    (lr, lambda, subsample, colsample) and per-fold row weights over the
-    SHARED binned matrix."""
+    """Forest trials: (trial × fold) fits run through fit_forest_launched on
+    the SHARED binned matrix with per-fold row weights. Hyperparameters
+    (lr, lambda, subsample, colsample) are traced, so every fit with the same
+    static (n_estimators, depth, oblivious, rf) hits one compile.
+
+    NOTE: a vmapped (trial × fold) lane axis around the histogram scatters
+    retriggers the platform's cumulative-scatter fault even under the
+    per-launch budget (the batched-scatter lowering multiplies the counted
+    output in a way the budget model doesn't capture), so forest trials run
+    as sequential launched fits; the vmapped trial axis is reserved for the
+    scatter-free families (logreg/svc/bnb/mlp/knn)."""
     from bbbp_tpu.ops.forest import BinMapper, MAX_BINS
-    from bbbp_tpu.ops.forest_tpu import (
-        SCATTER_SEGMENT_BUDGET, _dense_predict, _fit_forest_device,
-        _tree_scan_segments)
+    from bbbp_tpu.ops.forest_tpu import _dense_predict, fit_forest_launched
 
     x = np.asarray(x, np.float32)
     y32 = np.asarray(y, np.float32)
@@ -247,13 +263,7 @@ def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
     w_kn = np.zeros((len(folds), n), np.float32)
     for i in range(len(folds)):
         w_kn[i][tr_idx[i]] = 1.0                      # wrap-pad dups collapse
-    w_kn = jnp.asarray(w_kn)
-
-    groups: Dict[Tuple, List[int]] = {}
-    for t, p in enumerate(param_sets):
-        key = (int(p.get("n_estimators", 300)), int(p.get("max_depth", 6)),
-               bool(p.get("oblivious", False)), bool(p.get("rf", False)))
-        groups.setdefault(key, []).append(t)
+    w_kn_d = jnp.asarray(w_kn)
 
     acc = np.zeros(len(param_sets))
     prec = np.zeros(len(param_sets))
@@ -266,71 +276,40 @@ def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
     x_va_d = jnp.asarray(x[va_idx])                   # [K, V, F]
     y_va = y_d[jnp.asarray(va_idx)]
 
-    for (n_est, depth, obl, rf), t_ids in groups.items():
-        lrs = jnp.asarray([param_sets[t].get("learning_rate", 0.1) for t in t_ids],
-                          jnp.float32)
-        lams = jnp.asarray([param_sets[t].get("reg_lambda", 1.0) for t in t_ids],
-                           jnp.float32)
-        subs = jnp.asarray([param_sets[t].get("subsample", 1.0) for t in t_ids],
-                           jnp.float32)
-        cols = jnp.asarray([param_sets[t].get("colsample", 1.0) for t in t_ids],
-                           jnp.float32)
-        keys = jax.random.split(jax.random.PRNGKey(0), len(t_ids))
-        base_rf = 0.0 if rf else base
-        # launch-split the tree axis so each compiled program's cumulative
-        # scatter stays under budget across ALL vmapped (trial × fold) lanes
-        lanes = len(t_ids) * len(folds)
-        per_tree = _tree_scan_segments(n, F, depth) * lanes
-        chunk = max(1, int(SCATTER_SEGMENT_BUDGET // per_tree))
-
-        @functools.partial(jax.jit, static_argnames=("t",))
-        def run_chunk(preds, lrs, lams, subs, cols, keys, launch, t,
-                      _depth=depth, _obl=obl, _rf=rf, _base=base_rf):
-            def one_trial(preds_k, lr, lam, sub, col, key):
-                def one_fold(p0, w_row):
-                    return _fit_forest_device(
-                        xb, edge_vals, y_d, lr, lam, jnp.float32(1.0), sub,
-                        col, jnp.float32(_base),
-                        jax.random.fold_in(key, launch), w_row, p0,
-                        task="cls" if classify else "reg",
-                        n_trees=t, depth=_depth, oblivious=_obl, rf=_rf)
-                return jax.vmap(one_fold)(preds_k, w_kn)
-            return jax.vmap(one_trial)(preds, lrs, lams, subs, cols, keys)
-
-        @functools.partial(jax.jit, static_argnames=())
-        def score_chunk(feats, thrs, leaves, scales):
-            def one_trial(fe, th, le, sc):
-                def one_fold(fe_k, th_k, le_k, xv):
-                    return _dense_predict(fe_k, th_k, le_k, xv, depth,
-                                          jnp.float32(base_rf), sc)
-                return jax.vmap(one_fold)(fe, th, le, x_va_d)
-            return jax.vmap(one_trial)(feats, thrs, leaves, scales)
-
-        preds = jnp.full((len(t_ids), len(folds), n), base_rf, jnp.float32)
-        raw_sum = np.zeros((len(t_ids), len(folds), len(va_idx[0])), np.float32)
-        scales = (jnp.full((len(t_ids),), 1.0 / n_est) if rf
-                  else lrs)
-        done, launch = 0, 0
-        while done < n_est:
-            t = min(chunk, n_est - done)
-            preds, feats, thrs, leaves = run_chunk(
-                preds, lrs, lams, subs, cols, keys, launch, t)
-            raw_sum += np.asarray(score_chunk(feats, thrs, leaves, scales))
-            done += t
-            launch += 1
-        # _dense_predict adds the base score once PER CHUNK; keep exactly one
-        raw = raw_sum - base_rf * (launch - 1)
-        for j, t in enumerate(t_ids):
-            if rf:
-                proba = np.clip(raw[j], 0.0, 1.0) if classify else raw[j]
-            else:
-                proba = 1 / (1 + np.exp(-raw[j])) if classify else raw[j]
-            a, p = _masked_scores(jnp.asarray(proba), y_va, jnp.asarray(va_mask))
-            acc[t] = float(a)
-            prec[t] = float(p)
+    score_jit = jax.jit(_dense_predict, static_argnums=(4,))
+    for t, p in enumerate(param_sets):
+        rf = bool(p.get("rf", False))
+        n_est = int(p.get("n_estimators", 300))
+        depth = int(p.get("max_depth", 6))
+        obl = bool(p.get("oblivious", False))
+        base_t = 0.0 if rf else base
+        raw_k = []
+        for k in range(len(folds)):
+            feats, thrs, leaves = fit_forest_launched(
+                xb, edge_vals, y_d,
+                jnp.float32(p.get("learning_rate", 0.1)),
+                jnp.float32(p.get("reg_lambda", 1.0)), jnp.float32(1.0),
+                jnp.float32(p.get("subsample", 1.0)),
+                jnp.float32(p.get("colsample", 1.0)), jnp.float32(base_t),
+                jax.random.fold_in(jax.random.PRNGKey(0), t * 131 + k),
+                w_kn_d[k], task="cls" if classify else "reg",
+                n_trees=n_est, depth=depth, oblivious=obl, rf=rf)
+            scale = (1.0 / n_est) if rf else float(p.get("learning_rate", 0.1))
+            raw_k.append(score_jit(feats, thrs, leaves, x_va_d[k], depth,
+                                   jnp.float32(base_t), jnp.float32(scale)))
+        raw = np.stack([np.asarray(r) for r in raw_k])          # [K, V]
+        if rf:
+            proba = np.clip(raw, 0.0, 1.0) if classify else raw
+        else:
+            proba = 1 / (1 + np.exp(-raw)) if classify else raw
+        score_fn = _masked_scores if classify else _masked_r2
+        a, pr = score_fn(jnp.asarray(proba), y_va, jnp.asarray(va_mask))
+        acc[t] = float(a)
+        prec[t] = float(pr)
         if verbose:
-            print(f"[search] forest group n={n_est} d={depth} obl={obl} "
-                  f"rf={rf}: {len(t_ids)} trials done")
+            print(f"[search] forest trial {t+1}/{len(param_sets)} "
+                  f"{'r2' if not classify else 'acc'}={acc[t]:.4f} {p}",
+                  flush=True)
     return acc, prec
 
 

@@ -41,6 +41,8 @@ class BertTrainConfig:
     seed: int = 42
     workers: Optional[int] = None
     limit: Optional[int] = None
+    pretrained_dir: Optional[str] = None   # MLM-pretrained encoder directory
+                                           # (train.bert_pretrain); smiles mode
 
 
 def run_bert(cfg: BertTrainConfig = BertTrainConfig(), verbose: bool = True):
@@ -69,7 +71,8 @@ def run_bert(cfg: BertTrainConfig = BertTrainConfig(), verbose: bool = True):
     def factory():
         return BertClassifier(epochs=cfg.epochs, batch_size=cfg.batch_size,
                               lr=cfg.lr, input_mode=cfg.input_mode,
-                              seed=cfg.seed)
+                              seed=cfg.seed,
+                              pretrained_dir=cfg.pretrained_dir)
 
     if cfg.grid:
         search = GridSearchCV(factory, cfg.grid, cv=cfg.cv,
@@ -97,9 +100,12 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--save", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--pretrained", default=None,
+                    help="MLM-pretrained encoder dir (train.bert_pretrain)")
     args = ap.parse_args()
     cfg = BertTrainConfig(input_mode=args.input_mode, epochs=args.epochs,
-                          lr=args.lr, limit=args.limit)
+                          lr=args.lr, limit=args.limit,
+                          pretrained_dir=args.pretrained)
     clf, report, wall = run_bert(cfg)
     print(json.dumps(report, indent=2))
     if args.save:

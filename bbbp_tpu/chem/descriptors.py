@@ -40,8 +40,53 @@ DESCRIPTOR_NAMES = [
     # Crippen-family and ionization descriptors (round 2): logBB is classically
     # modeled as a·clogP + b·TPSA + c (SURVEY.md §7 beyond-parity featurization)
     "cmr", "n_basic_n", "n_acidic", "n_arom_hetero",
+    # Kier-Hall connectivity / shape indices (classic QSPR topology terms)
+    "chi0", "chi1", "chi0v", "chi1v", "kappa1", "kappa2", "zagreb",
 ]
 N_DESCRIPTORS = len(DESCRIPTOR_NAMES)
+
+# Kier-Hall valence-delta parameters: (Zv - h) / (Z - Zv - 1); Zv = valence
+# electrons. Simple-delta uses heavy-atom degree.
+_VALENCE_ELECTRONS = {5: 3, 6: 4, 7: 5, 8: 6, 9: 7, 14: 4, 15: 5, 16: 6,
+                      17: 7, 35: 7, 53: 7}
+
+
+def _connectivity_indices(mol: Mol):
+    """(chi0, chi1, chi0v, chi1v, kappa1, kappa2, zagreb)."""
+    heavy = [a for a in mol.atoms if a.z > 1]
+    n = len(heavy)
+    if n == 0:
+        return (0.0,) * 7
+    deg = {}
+    dval = {}
+    for a in heavy:
+        i = a.idx
+        d = sum(1 for j in mol.atom_neighbors(i) if mol.atoms[j].z > 1)
+        deg[i] = d
+        zv = _VALENCE_ELECTRONS.get(a.z, 4)
+        h = mol.total_h(i)
+        denom = a.z - zv - 1
+        dv = (zv - h) / denom if denom > 0 else float(max(zv - h, 1))
+        dval[i] = max(dv, 1e-6)
+    chi0 = sum(1.0 / np.sqrt(d) for d in deg.values() if d > 0)
+    chi0v = sum(1.0 / np.sqrt(dval[i]) for i in deg)
+    chi1 = 0.0
+    chi1v = 0.0
+    n_bonds = 0
+    for b in mol.bonds:
+        if mol.atoms[b.a1].z > 1 and mol.atoms[b.a2].z > 1:
+            n_bonds += 1
+            if deg[b.a1] > 0 and deg[b.a2] > 0:
+                chi1 += 1.0 / np.sqrt(deg[b.a1] * deg[b.a2])
+            chi1v += 1.0 / np.sqrt(dval[b.a1] * dval[b.a2])
+    p2 = 0
+    for a in heavy:
+        d = deg[a.idx]
+        p2 += d * (d - 1) // 2              # paths of length 2
+    kappa1 = n * (n - 1) ** 2 / max(n_bonds, 1) ** 2
+    kappa2 = (n - 1) * (n - 2) ** 2 / max(p2, 1) ** 2 if n > 2 else 0.0
+    zagreb = float(sum(d * d for d in deg.values()))
+    return (chi0, chi1, chi0v, chi1v, kappa1, kappa2, zagreb)
 
 
 def _tpsa(mol: Mol) -> float:
@@ -245,6 +290,7 @@ def compute_descriptors(mol: Mol) -> np.ndarray:
         max((len(r) for r in mol.rings), default=0), n_frag,
         cmr, _basic_nitrogens(mol), _acidic_groups(mol),
         sum(1 for a in heavy if a.aromatic and a.z != 6),
+        *_connectivity_indices(mol),
     ]
     return np.asarray(vals, dtype=np.float32)
 

@@ -139,6 +139,28 @@ class BertEncoder(nn.Module):
         return logits
 
 
+class BertRegressor(nn.Module):
+    """Scalar-output encoder for the regression stack's SMILES leg. The
+    encoder submodule is named 'enc' so an MLM-pretrained trunk warm-starts
+    via train_cv(warm_start={'enc': pretrained_params})."""
+
+    vocab_size: int
+    n_layers: int = 4
+    d_model: int = 128
+    n_heads: int = 4
+    max_len: int = 128
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, ids, train: bool = False):
+        z = BertEncoder(vocab_size=self.vocab_size, n_layers=self.n_layers,
+                        d_model=self.d_model, n_heads=self.n_heads,
+                        d_ff=4 * self.d_model, max_len=self.max_len,
+                        n_classes=1, dropout=self.dropout,
+                        name="enc")(ids, train=train)
+        return z[..., 0]
+
+
 def merge_pretrained(init_params, pretrained):
     """Copy every pretrained leaf whose path+shape matches into a freshly
     initialised tree (the trunk transfers; absent heads stay fresh)."""

@@ -201,15 +201,19 @@ def _grow_level(pos, xb_chunks, g, h, l, B, lam, min_child, col_mask_chunks,
 # — consistent with a 32-bit cumulative output counter in the runtime's
 # scatter path (2^32 ≈ 4.3e9). Stay well under it by splitting the tree scan
 # across program launches.
-SCATTER_SEGMENT_BUDGET = 2.0e9
+SCATTER_SEGMENT_BUDGET = 1.5e9
 
 
 def _tree_scan_segments(n: int, F: int, depth: int) -> float:
-    """Per-tree cumulative scatter-output size (level loop + leaf sum)."""
+    """Per-tree cumulative scatter-output ELEMENT count (level-loop histogram
+    scatters carry a trailing (g, h) pair channel, so segments × 2, plus the
+    leaf sums). A vmapped sweep at ~4.0e9 elements/launch still crashed while
+    ~2e9 passed, so the budget keeps ≥2.5× margin under the suspected 2^32
+    wall counted in elements."""
     fc = min(F_CHUNK, _pad128(F))
     n_chunks = (_pad128(F) + fc - 1) // fc
     segs = sum((1 << l) * fc * MAX_BINS * n_chunks for l in range(depth))
-    return float(segs + 2 * (1 << depth))
+    return float(2 * segs + 2 * (1 << depth))
 
 
 def _pad128(F: int) -> int:

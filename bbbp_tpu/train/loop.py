@@ -86,6 +86,7 @@ def train_cv(
     patience: Optional[int] = None,
     val_frac: float = 0.1,
     fold_affine=None,
+    warm_start=None,
 ) -> CVResult:
     """Train `model(*inputs, train=)` on all folds at once; return OOF preds.
 
@@ -109,6 +110,11 @@ def train_cv(
     scale [K, ...]) pairs (entries may be None); applied as (x - shift) *
     scale inside the step. This is how the strict leak-free protocol feeds
     per-fold standardization without materializing K copies of the data.
+
+    ``warm_start``: optional params pytree WITHOUT a fold axis (e.g. an
+    MLM-pretrained encoder trunk). Every leaf whose path+shape matches the
+    freshly initialised per-fold params is broadcast across the fold axis;
+    non-matching leaves (new heads) keep their per-fold random init.
     """
     n = len(y)
     folds = kfold_indices(n, n_folds, split_seed if split_seed is not None else seed)
@@ -127,9 +133,12 @@ def train_cv(
     k = n_folds * n_seeds
     steps = s // batch_size
 
-    inputs_d = tuple(
-        jnp.asarray(a, jnp.bfloat16 if a.ndim >= 3 else jnp.float32)
-        for a in inputs)
+    def _device_dtype(a):
+        if np.issubdtype(np.asarray(a).dtype, np.integer):
+            return jnp.int32                       # token ids etc.
+        return jnp.bfloat16 if a.ndim >= 3 else jnp.float32
+
+    inputs_d = tuple(jnp.asarray(a, _device_dtype(a)) for a in inputs)
     y_d = jnp.asarray(y, jnp.float32)
     if fold_affine is not None:
         fold_affine = tuple(
@@ -155,6 +164,17 @@ def train_cv(
     # jit the vmapped init: eager init dispatches hundreds of tiny ops
     # individually (catastrophic over the axon tunnel — one RPC per op)
     params, batch_stats, opt_state = jax.jit(jax.vmap(init_one))(init_keys)
+    if warm_start is not None:
+        def merge(a, b):
+            if isinstance(a, dict):
+                return {kk: (merge(a[kk], b[kk])
+                             if isinstance(b, dict) and kk in b else a[kk])
+                        for kk in a}
+            if (hasattr(b, "shape") and hasattr(a, "shape")
+                    and a.shape[1:] == b.shape):
+                return jnp.broadcast_to(jnp.asarray(b, a.dtype), a.shape)
+            return a
+        params = merge(dict(params), warm_start)
 
     # mesh mode: the fold×seed axis shards over 'data' — each device trains
     # its own folds; full feature tensors replicate (they're small); XLA

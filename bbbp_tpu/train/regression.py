@@ -69,6 +69,14 @@ class RegressionTrainConfig:
     graph_hidden: int = 128
     graph_layers: int = 4
     max_atoms: int = 128
+    # SMILES-encoder leg (MLM-pretrained transformer, models.bert)
+    bert_leg: bool = False
+    bert_pretrained_dir: Optional[str] = None
+    bert_epochs: int = 40
+    bert_seeds: int = 2
+    bert_lr: float = 2e-4
+    bert_d_model: int = 128
+    bert_layers: int = 4
     # forest legs (reference hyperparameters :262-391, re-tuned for the engine)
     rf_trees: int = 300
     rf_depth: int = 10
@@ -252,10 +260,57 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     leg_names = ["nn", "rf", "gbdt", "cat"]
     if cfg.graph_leg:
         leg_names.insert(1, "graph")
+    if cfg.bert_leg:
+        leg_names.insert(1, "smiles")
     if cfg.extra_legs:
         leg_names += ["knn", "ridge"]
     oof = {m: np.zeros(n, np.float32) for m in leg_names}
     oof["nn"] = nn_res.oof_pred
+
+    # ---------------- SMILES-encoder leg (pretrained transformer) ----------
+    if cfg.bert_leg:
+        import json as _json
+        import pickle as _pickle
+
+        from bbbp_tpu.models.bert import BertRegressor, SmilesTokenizer
+
+        warm = None
+        if cfg.bert_pretrained_dir:
+            import os as _os
+
+            with open(_os.path.join(cfg.bert_pretrained_dir,
+                                    "tokenizer.json")) as f:
+                tok = SmilesTokenizer.from_json(f.read())
+            with open(_os.path.join(cfg.bert_pretrained_dir,
+                                    "config.json")) as f:
+                pcfg = _json.load(f)
+            with open(_os.path.join(cfg.bert_pretrained_dir,
+                                    "params.pkl"), "rb") as f:
+                warm = {"enc": _pickle.load(f)}
+            d_model, b_layers = pcfg["d_model"], pcfg["n_layers"]
+            max_len = pcfg["max_len"]
+        else:
+            tok = SmilesTokenizer(128).fit(data.smiles)
+            d_model, b_layers, max_len = cfg.bert_d_model, cfg.bert_layers, 128
+        ids = tok.encode_batch(data.smiles)
+        bmodel = BertRegressor(vocab_size=tok.vocab_size, n_layers=b_layers,
+                               d_model=d_model, max_len=max_len)
+        if verbose:
+            print(f"[regression] SMILES-encoder leg "
+                  f"(pretrained={'yes' if warm else 'no'})...")
+        b_acc = None
+        for r in range(max(1, cfg.bert_seeds)):
+            b_res = train_cv(
+                bmodel, (ids,), y, n_folds=cfg.n_folds,
+                epochs=cfg.bert_epochs, batch_size=cfg.batch_size,
+                lr=cfg.bert_lr, seed=cfg.seed + 3000 + 1000 * r,
+                split_seed=cfg.seed, warm_start=warm,
+                snapshot_from=None if cfg.patience else max(
+                    1, cfg.bert_epochs - 10),
+                patience=cfg.patience,
+                log_every=(20 if verbose and r == 0 else 0))
+            b_acc = b_res.oof_pred if b_acc is None else b_acc + b_res.oof_pred
+        oof["smiles"] = b_acc / max(1, cfg.bert_seeds)
 
     # ---------------- graph leg (edge-featured MPNN) -----------------------
     if cfg.graph_leg:
@@ -377,6 +432,10 @@ def main():
     ap.add_argument("--meta", default="linear", choices=["linear", "ridge"])
     ap.add_argument("--patience", type=int, default=None)
     ap.add_argument("--no-graph-leg", action="store_true")
+    ap.add_argument("--bert-leg", action="store_true",
+                    help="add the SMILES-encoder leg")
+    ap.add_argument("--bert-pretrained", default=None,
+                    help="MLM-pretrained dir (train.bert_pretrain)")
     ap.add_argument("--tree-seeds", type=int, default=3)
     ap.add_argument("--nn-seeds", type=int, default=3)
     ap.add_argument("--compat-batch", type=int, default=None,
@@ -391,6 +450,8 @@ def main():
                                 fusion=args.fusion, meta=args.meta,
                                 patience=args.patience,
                                 graph_leg=not args.no_graph_leg,
+                                bert_leg=args.bert_leg,
+                                bert_pretrained_dir=args.bert_pretrained,
                                 tree_seeds=args.tree_seeds,
                                 nn_seeds=args.nn_seeds,
                                 compat_batch=args.compat_batch,

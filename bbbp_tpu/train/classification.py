@@ -76,19 +76,27 @@ SEARCH_SPACES: Dict[str, Dict] = {
     "logreg": {"l2": {"low": 1e-3, "high": 1e2, "log": True}},
     "svc": {"C": {"low": 1e-2, "high": 1e2, "log": True}},
     "bnb": {"alpha": {"low": 1e-2, "high": 10.0, "log": True}},
-    "dt": {"n_estimators": [1], "learning_rate": [1.0],
-           "max_depth": [6, 10, 14]},
-    "rf": {"rf": [True], "n_estimators": [300], "max_depth": [8, 10, 12],
-           "colsample": {"low": 0.3, "high": 1.0}},
-    "gb": {"n_estimators": [300], "max_depth": [4, 6],
+    # forest spaces keep ONE static (n_estimators, depth) shape per model and
+    # search the TRACED dims (lr, subsample, colsample, lambda): every trial
+    # then reuses a single compiled program — remote compiles on the tunnel
+    # cost minutes each, traced-parameter refits cost seconds
+    "dt": {"n_estimators": [1], "learning_rate": [1.0], "max_depth": [12],
+           "colsample": {"low": 0.5, "high": 1.0},
+           "reg_lambda": {"low": 0.1, "high": 10.0, "log": True}},
+    "rf": {"rf": [True], "n_estimators": [300], "max_depth": [10],
+           "colsample": {"low": 0.3, "high": 1.0},
+           "reg_lambda": {"low": 1e-6, "high": 1.0, "log": True}},
+    "gb": {"n_estimators": [300], "max_depth": [6],
            "learning_rate": {"low": 0.02, "high": 0.3, "log": True},
            "subsample": {"low": 0.6, "high": 1.0}},
-    "xgb": {"n_estimators": [300], "max_depth": [4, 6, 8],
+    "xgb": {"n_estimators": [300], "max_depth": [6],
             "learning_rate": {"low": 0.02, "high": 0.3, "log": True},
             "subsample": {"low": 0.6, "high": 1.0},
-            "colsample": {"low": 0.5, "high": 1.0}},
-    "cat": {"oblivious": [True], "n_estimators": [300], "max_depth": [4, 6, 8],
-            "learning_rate": {"low": 0.02, "high": 0.3, "log": True}},
+            "colsample": {"low": 0.5, "high": 1.0},
+            "reg_lambda": {"low": 0.1, "high": 10.0, "log": True}},
+    "cat": {"oblivious": [True], "n_estimators": [300], "max_depth": [6],
+            "learning_rate": {"low": 0.02, "high": 0.3, "log": True},
+            "reg_lambda": {"low": 0.5, "high": 10.0, "log": True}},
     "mlp": {"hidden": [(64,), (128,), (256,), (128, 64)],
             "lr": {"low": 3e-4, "high": 1e-2, "log": True},
             "l2": {"low": 1e-6, "high": 1e-3, "log": True}, "n_steps": 800},
@@ -114,6 +122,7 @@ def _factory_from_params(name: str, p: Dict, seed: int) -> Callable[[], object]:
         return lambda: RandomForestClassifier(
             n_estimators=int(p.get("n_estimators", 300)),
             max_depth=int(p.get("max_depth", 10)),
+            reg_lambda=float(p.get("reg_lambda", 1e-6)),
             colsample=float(p.get("colsample", 0.5)), seed=seed)
     # dt / gb / xgb / cat → GBDT surrogates
     return lambda: GBDTClassifier(
@@ -122,6 +131,7 @@ def _factory_from_params(name: str, p: Dict, seed: int) -> Callable[[], object]:
         max_depth=int(p.get("max_depth", 6)),
         subsample=float(p.get("subsample", 1.0)),
         colsample=float(p.get("colsample", 1.0)),
+        reg_lambda=float(p.get("reg_lambda", 1.0)),
         oblivious=bool(p.get("oblivious", False)), seed=seed)
 
 

@@ -63,11 +63,14 @@ class RegressionTrainConfig:
     patience: Optional[int] = None      # B3 early stopping (disables snapshots)
     seed: int = 42
     # graph leg: edge-featured MPNN over the own graph featurizer
+    # (round-2 sweep: hidden 192 × 5 layers × 100 epochs @ 7e-4 beat the
+    # 128×4×60 default by +0.026 OOF R²)
     graph_leg: bool = True
-    graph_epochs: int = 60
+    graph_epochs: int = 100
     graph_seeds: int = 2
-    graph_hidden: int = 128
-    graph_layers: int = 4
+    graph_hidden: int = 192
+    graph_layers: int = 5
+    graph_lr: float = 7e-4
     max_atoms: int = 128
     # SMILES-encoder leg (MLM-pretrained transformer, models.bert)
     bert_leg: bool = False
@@ -77,14 +80,17 @@ class RegressionTrainConfig:
     bert_lr: float = 2e-4
     bert_d_model: int = 128
     bert_layers: int = 4
-    # forest legs (reference hyperparameters :262-391, re-tuned for the engine)
+    # forest legs (reference hyperparameters :262-391, re-tuned for the
+    # engine by the round-2 on-device sweep: 32-config CV search favored
+    # lr 0.05 d6 for the GBDT and lr 0.08 d6 oblivious for the CatBoost
+    # surrogate on the enriched features)
     rf_trees: int = 300
     rf_depth: int = 10
-    gbdt_trees: int = 300
-    gbdt_lr: float = 0.03
+    gbdt_trees: int = 400
+    gbdt_lr: float = 0.05
     gbdt_depth: int = 6
-    cat_trees: int = 300
-    cat_lr: float = 0.03
+    cat_trees: int = 400
+    cat_lr: float = 0.08
     cat_depth: int = 6
     tree_seeds: int = 3          # seed-bagged forests per fold
     tree_raw_fp: bool = False    # feed trees the raw wide fingerprint bits
@@ -327,7 +333,8 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         for r in range(max(1, cfg.graph_seeds)):
             g_res = train_cv(
                 gmodel, (feats, adj_t, mask), y, n_folds=cfg.n_folds,
-                epochs=cfg.graph_epochs, batch_size=cfg.batch_size, lr=1e-3,
+                epochs=cfg.graph_epochs, batch_size=cfg.batch_size,
+                lr=cfg.graph_lr,
                 seed=cfg.seed + 2000 + 1000 * r, split_seed=cfg.seed,
                 snapshot_from=None if cfg.patience else max(
                     1, cfg.graph_epochs - 15),

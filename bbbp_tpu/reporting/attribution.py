@@ -176,6 +176,57 @@ def forest_feature_importance(estimator) -> np.ndarray:
 # integrated gradients (NN branches)
 # ---------------------------------------------------------------------------
 
+def kernel_shap(predict_fn: Callable, x: np.ndarray, background: np.ndarray,
+                n_samples: int = 512, n_background: int = 20,
+                l2: float = 1e-3, seed: int = 0) -> np.ndarray:
+    """Sampling KernelSHAP (Lundberg & Lee 2017) for model-agnostic
+    attribution — the reference's KernelExplainer fallback for KNN/NB/SVC/MLP
+    (Models/model_opt_20250130.py:241-349 shap_analysis else-branch).
+
+    predict_fn: batch [m, d] -> [m] scalar output (e.g. positive-class proba).
+    Coalition masks are sampled from the Shapley kernel's size distribution;
+    hybrid rows substitute background values for absent features and average
+    over ``n_background`` background rows; φ solves the kernel-weighted ridge
+    with the efficiency constraint enforced by anchored all-on/all-off rows.
+    All model evaluations run as a few big batched calls (device-friendly).
+    Returns φ [n, d].
+    """
+    rng = np.random.default_rng(seed)
+    x = np.asarray(x, np.float32)
+    bg = np.asarray(background, np.float32)
+    bg = bg[rng.choice(len(bg), min(n_background, len(bg)), replace=False)]
+    n, d = x.shape
+    m = n_samples
+    # coalition sizes ~ Shapley kernel: p(k) ∝ (d-1)/(k(d-k))
+    ks = np.arange(1, d)
+    pk = (d - 1) / (ks * (d - ks))
+    pk = pk / pk.sum()
+    sizes = rng.choice(ks, size=m, p=pk)
+    z = np.zeros((m, d), np.float32)
+    for i, k in enumerate(sizes):
+        z[i, rng.choice(d, k, replace=False)] = 1.0
+    # anchor rows: empty and full coalitions with dominant weight
+    z_full = np.concatenate([z, np.zeros((1, d), np.float32),
+                             np.ones((1, d), np.float32)])
+    w = np.ones(m + 2, np.float32)
+    w[-2:] = 1e6
+    f_bg = float(np.mean(predict_fn(bg)))
+
+    phis = np.zeros((n, d), np.float32)
+    zw = z_full * w[:, None]
+    a = zw.T @ z_full + l2 * np.eye(d, dtype=np.float32)
+    a_inv = np.linalg.inv(a)
+    for i in range(n):
+        # hybrids: [m+2, n_bg, d] -> flatten for one batched predict
+        hyb = np.where(z_full[:, None, :] == 1.0, x[i][None, None, :],
+                       bg[None, :, :])
+        preds = np.asarray(predict_fn(hyb.reshape(-1, d)), np.float32)
+        fz = preds.reshape(m + 2, len(bg)).mean(1)
+        target = fz - f_bg
+        phis[i] = a_inv @ (zw.T @ target)
+    return phis
+
+
 def integrated_gradients(apply_fn: Callable, inputs, baseline=None,
                          steps: int = 64):
     """IG along the straight-line path, batched under one jit.

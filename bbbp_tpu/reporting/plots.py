@@ -194,6 +194,36 @@ def hyperparam_search_plots(trials: List[Dict], prefix: str,
     return out
 
 
+def shap_dependence_plot(shap_values, features, feature_idx: int, path: str,
+                         color_idx: Optional[int] = None,
+                         feature_name: Optional[str] = None) -> str:
+    """SHAP dependence scatter: feature value vs its attribution, colored by
+    the most-interacting other feature (reference shap.dependence_plot usage,
+    Models/model_opt_20250130.py:241-349)."""
+    sv = np.asarray(shap_values)
+    x = np.asarray(features)
+    xi = x[:, feature_idx]
+    yi = sv[:, feature_idx]
+    if color_idx is None:
+        # pick the feature whose value correlates most with this feature's
+        # attribution residual (simple interaction heuristic)
+        best, best_c = 0, -1.0
+        for j in range(x.shape[1]):
+            if j == feature_idx or np.std(x[:, j]) < 1e-12:
+                continue
+            c = abs(np.corrcoef(x[:, j], yi)[0, 1])
+            if np.isfinite(c) and c > best_c:
+                best, best_c = j, c
+        color_idx = best
+    fig, ax = plt.subplots(figsize=(5.2, 4))
+    p = ax.scatter(xi, yi, c=x[:, color_idx], cmap="coolwarm", s=14,
+                   edgecolors="none")
+    ax.set_xlabel(feature_name or f"feature {feature_idx}")
+    ax.set_ylabel("SHAP value")
+    fig.colorbar(p, label=f"feature {color_idx}", shrink=0.85)
+    return _save(fig, path)
+
+
 def pca_space_plot(coords_2d, labels, path: str, label_names=("BBB-", "BBB+")) -> str:
     """PCA chemical-space scatter colored by class (reference F6/F7)."""
     coords_2d = np.asarray(coords_2d)

@@ -67,6 +67,11 @@ class ClassificationTrainConfig:
     tune: bool = True
     n_search_iter: int = 50
     search_folds: int = 5
+    # restrict which models get searched (None = all). The deep-forest
+    # statics cost a one-time 10-40 min remote compile on the tunnel;
+    # tune_models=("knn","logreg","svc","bnb","mlp","dt") tunes everything
+    # that searches in seconds
+    tune_models: Optional[Tuple[str, ...]] = None
 
 
 # per-model search distributions mirroring the reference's param_distributions
@@ -247,7 +252,9 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
     names = [m for m in cfg.models if m in zoo]
     search_trials = None
     if cfg.tune:
-        tuned, search_trials, _ = tune_zoo(x_tr, y_tr, names, cfg,
+        to_tune = [m for m in names
+                   if cfg.tune_models is None or m in cfg.tune_models]
+        tuned, search_trials, _ = tune_zoo(x_tr, y_tr, to_tune, cfg,
                                            verbose=verbose)
         zoo.update(tuned)
 
@@ -347,7 +354,8 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
             if m in fitted:
                 try:
                     from bbbp_tpu.reporting.attribution import forest_shap_values
-                    from bbbp_tpu.reporting.plots import shap_summary_plot
+                    from bbbp_tpu.reporting.plots import (
+                        shap_dependence_plot, shap_summary_plot)
 
                     idx = np.random.default_rng(0).choice(
                         len(x_te), min(150, len(x_te)), replace=False)
@@ -355,9 +363,38 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
                                              max_samples=None)
                     shap_summary_plot(phi, x_te[idx],
                                       os.path.join(d, f"shap_{m}.png"))
+                    top = int(np.abs(phi).mean(0).argmax())
+                    shap_dependence_plot(
+                        phi, x_te[idx], top,
+                        os.path.join(d, f"shap_dependence_{m}.png"))
                 except Exception:
                     pass
                 break  # one SHAP plot is enough per run
+        for m in ("mlp", "knn", "logreg", "svc", "bnb"):
+            # KernelSHAP for one non-tree model (reference's KernelExplainer
+            # fallback, model_opt_20250130.py:241-349)
+            if m in fitted:
+                try:
+                    from bbbp_tpu.reporting.attribution import kernel_shap
+                    from bbbp_tpu.reporting.plots import (
+                        shap_dependence_plot, shap_summary_plot)
+
+                    rng0 = np.random.default_rng(0)
+                    idx = rng0.choice(len(x_te), min(60, len(x_te)),
+                                      replace=False)
+                    mdl = fitted[m]
+                    phi = kernel_shap(
+                        lambda a: mdl.predict_proba(a)[:, 1],
+                        x_te[idx], x_tr, n_samples=256)
+                    shap_summary_plot(phi, x_te[idx],
+                                      os.path.join(d, f"shap_kernel_{m}.png"))
+                    top = int(np.abs(phi).mean(0).argmax())
+                    shap_dependence_plot(
+                        phi, x_te[idx], top,
+                        os.path.join(d, f"shap_kernel_dependence_{m}.png"))
+                except Exception:
+                    pass
+                break
         with open(os.path.join(d, "fitted_models.pkl"), "wb") as f:
             pickle.dump(fitted, f)
     return ClassificationRunResult(report, y_te, test_proba, time.time() - t0)

@@ -238,3 +238,30 @@ class TestMeshScreen:
         out = run(xs)
         assert not out.sharding.is_fully_replicated
         assert len(out.sharding.device_set) == 8
+
+
+class TestKernelShap:
+    def test_linear_model_recovers_exact_shapley(self):
+        """For f(x)=w·x the Shapley values are w_i (x_i - E[bg_i]) exactly."""
+        from bbbp_tpu.reporting.attribution import kernel_shap
+
+        rng = np.random.default_rng(0)
+        d = 6
+        w = rng.normal(size=d).astype(np.float32)
+        bg = rng.normal(size=(50, d)).astype(np.float32)
+        x = rng.normal(size=(4, d)).astype(np.float32)
+        phi = kernel_shap(lambda a: np.asarray(a) @ w, x, bg,
+                          n_samples=400, n_background=50, seed=1)
+        expected = w[None, :] * (x - bg.mean(0)[None, :])
+        assert np.allclose(phi, expected, atol=0.08), (
+            np.abs(phi - expected).max())
+
+    def test_dependence_plot_writes(self, tmp_path):
+        from bbbp_tpu.reporting.plots import shap_dependence_plot
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(80, 5)).astype(np.float32)
+        sv = x * 0.3 + 0.05 * rng.normal(size=(80, 5)).astype(np.float32)
+        p = shap_dependence_plot(sv, x, 2, str(tmp_path / "dep.png"))
+        import os
+        assert os.path.exists(p)

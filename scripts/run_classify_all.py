@@ -24,6 +24,7 @@ for fp_kind in ("maccs",):
               f"(tuned, n_iter=50)...", flush=True)
         cfg = ClassificationTrainConfig(
             fp_kind=fp_kind, protocol=protocol, tune=True, n_search_iter=30, search_folds=3,
+            tune_models=("knn","logreg","svc","bnb","mlp","dt"),
             out_dir=f"/root/repo/results/cls_{fp_kind}_{protocol}")
         res = run_classification(cfg, x=x, y=y, verbose=True)
         out = (f"/root/repo/results/classification_{fp_kind}_{protocol}"

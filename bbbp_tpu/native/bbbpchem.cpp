@@ -4,7 +4,7 @@
 // perception, implicit-H assignment, Morgan/ECFP + path fingerprints) with a
 // pthread-parallel batch API. Bit-exact with the Python reference
 // implementation: same splitmix-style hash chain, same invariants, same
-// dedup rules (verified by tests/test_native.py). This is the host-side
+// dedup rules (verified by tests/test_bitops_zinc.py). This is the host-side
 // engine that feeds the TPU screening pipeline (SURVEY.md §7 hard part #1:
 // featurization throughput bounds end-to-end screening).
 //

@@ -85,6 +85,85 @@ class Ridge(LinearRegression):
         super().__init__(alpha=alpha, fit_intercept=fit_intercept)
 
 
+class RidgeCV(LinearRegression):
+    """Ridge with the alpha chosen by efficient leave-one-out CV.
+
+    For each candidate alpha the LOO residuals come from the hat-matrix
+    shortcut r_i = (y_i - yhat_i) / (1 - h_ii) via one eigendecomposition of
+    the centered Gram — no refits. Used as a stacking meta-learner where the
+    handful of OOF legs makes LOO exact and cheap (beyond-parity upgrade of
+    the reference's plain LinearRegression meta, ..._20250113.py:394-403)."""
+
+    _param_names = ("alphas", "fit_intercept")
+
+    def __init__(self, alphas=(1e-4, 1e-3, 1e-2, 1e-1, 1.0, 10.0, 100.0),
+                 fit_intercept: bool = True):
+        super().__init__(alpha=1e-6, fit_intercept=fit_intercept)
+        self.alphas = tuple(alphas)
+        self.alpha_: Optional[float] = None
+
+    def fit(self, x, y) -> "RidgeCV":
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        if self.fit_intercept:
+            xm, ym = x.mean(0), y.mean()
+            xc, yc = x - xm, y - ym
+        else:
+            xc, yc = x, y
+        # eigendecompose X^T X once; h_ii(alpha) and residuals per alpha
+        # follow from the rotated design u = Xc @ V
+        g = xc.T @ xc
+        evals, vecs = np.linalg.eigh(g)
+        u = xc @ vecs                                   # [n, d]
+        uty = u.T @ yc                                  # [d]
+        best, best_err = self.alphas[0], np.inf
+        for a in self.alphas:
+            w_rot = uty / (evals + a)
+            yhat = u @ w_rot
+            h = np.einsum("nd,d,nd->n", u, 1.0 / (evals + a), u)
+            denom = np.clip(1.0 - h, 1e-6, None)
+            if self.fit_intercept:          # intercept adds 1/n leverage
+                denom = np.clip(denom - 1.0 / len(yc), 1e-6, None)
+            err = float(np.mean(((yc - yhat) / denom) ** 2))
+            if err < best_err:
+                best, best_err = a, err
+        self.alpha_ = float(best)
+        self.alpha = float(best)
+        return super().fit(x, y)
+
+
+class NonNegativeLinearRegression(_ParamsMixin):
+    """Least squares with non-negative coefficients (+ free intercept) —
+    classic stabilizer for stacking over correlated OOF legs (Breiman 1996):
+    a weak or divergent leg gets weight 0 instead of a compensating negative
+    weight. Solved by projected gradient with the exact Lipschitz step; the
+    problem is [N, n_legs]-sized so this is microseconds."""
+
+    _param_names = ("n_iter",)
+
+    def __init__(self, n_iter: int = 2000):
+        self.n_iter = n_iter
+        self.coef_: Optional[np.ndarray] = None
+        self.intercept_: float = 0.0
+
+    def fit(self, x, y) -> "NonNegativeLinearRegression":
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        xm, ym = x.mean(0), y.mean()
+        xc, yc = x - xm, y - ym
+        g = xc.T @ xc
+        b = xc.T @ yc
+        lip = float(np.linalg.eigvalsh(g)[-1]) + 1e-12
+        w = np.maximum(np.linalg.solve(g + 1e-8 * np.eye(len(b)), b), 0.0)
+        for _ in range(self.n_iter):
+            w = np.maximum(w - (g @ w - b) / lip, 0.0)
+        self.coef_ = w.astype(np.float32)
+        self.intercept_ = float(ym - xm @ w)
+        return self
+
+    def predict(self, x) -> np.ndarray:
+        return np.asarray(np.asarray(x, np.float32) @ self.coef_
+                          + self.intercept_)
+
+
 # ---------------------------------------------------------------------------
 # Logistic regression (Newton / IRLS, jit)
 # ---------------------------------------------------------------------------

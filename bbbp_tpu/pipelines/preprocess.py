@@ -102,7 +102,24 @@ class ProcessedData:
             return pickle.load(f)
 
 
-def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> ProcessedData:
+def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig(),
+                          cache_dir: Optional[str] = None) -> ProcessedData:
+    """``cache_dir``: optional directory to memoize the full ProcessedData
+    (pickle keyed by the config fields). Featurization + depiction of the
+    B3DB set runs minutes on the single host core; experiment sweeps that
+    reuse one preprocessing config should pass a cache_dir (also via env
+    BBBP_PREPROCESS_CACHE)."""
+    import hashlib
+
+    cache_dir = cache_dir or os.environ.get("BBBP_PREPROCESS_CACHE")
+    cpath = None
+    if cache_dir:
+        key = hashlib.sha1(repr(sorted(cfg.__dict__.items())).encode()
+                           ).hexdigest()[:16]
+        cpath = os.path.join(cache_dir, f"preproc_reg_{key}.pkl")
+        if os.path.exists(cpath):
+            with open(cpath, "rb") as f:
+                return pickle.load(f)
     data = load_b3db_regression(cfg.tsv_path)
     fp_res = fingerprints(data.smiles, kind=cfg.fp_kind, workers=cfg.workers)
     img_res = images(data.smiles, size=cfg.image_size, workers=cfg.workers)
@@ -167,7 +184,7 @@ def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> Process
         keep = y >= cfg.logbb_min
     else:
         keep = np.ones(len(y), dtype=bool)
-    return ProcessedData(
+    out = ProcessedData(
         smiles=[s for s, m in zip(smiles, keep) if m],
         y=y[keep].astype(np.float32),
         fp_norm=fp_n[keep],
@@ -187,6 +204,11 @@ def preprocess_regression(cfg: PreprocessConfig = PreprocessConfig()) -> Process
         aux_fp_raw=({k: v[keep] for k, v in aux_raw.items()}
                     if cfg.keep_raw and aux_raw else None),
     )
+    if cpath:
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(cpath, "wb") as f:
+            pickle.dump(out, f)
+    return out
 
 
 def main():

@@ -183,7 +183,7 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
     ``mesh``: optional jax.sharding.Mesh with a 'data' axis — each chunk's
     molecule axis shards across the mesh (weights replicate), so a v5e-8
     screens 8 chunk-shards per dispatch. Proven on the CPU-sim mesh in
-    tests/test_screen_mesh.py."""
+    tests/test_round2.py::test_device_fn_actually_shards."""
     packed_mode = False
     if model.fp_kind in ("morgan", "rdkit"):
         try:

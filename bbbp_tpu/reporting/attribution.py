@@ -212,10 +212,17 @@ def kernel_shap(predict_fn: Callable, x: np.ndarray, background: np.ndarray,
     w[-2:] = 1e6
     f_bg = float(np.mean(predict_fn(bg)))
 
+    # weighted ridge with an explicit intercept column: the empty-coalition
+    # anchor pins the intercept to ~0 and the full-coalition anchor pins
+    # sum(phi) + intercept to f(x) - f_bg, so the efficiency constraint holds
+    # to anchor-weight precision (an all-zero row without an intercept
+    # contributes nothing to the normal equations). Intercept unregularized.
+    design = np.concatenate([z_full, np.ones((m + 2, 1), np.float32)], axis=1)
+    reg = l2 * np.eye(d + 1, dtype=np.float32)
+    reg[d, d] = 0.0
     phis = np.zeros((n, d), np.float32)
-    zw = z_full * w[:, None]
-    a = zw.T @ z_full + l2 * np.eye(d, dtype=np.float32)
-    a_inv = np.linalg.inv(a)
+    dw = design * w[:, None]
+    a_inv = np.linalg.inv(dw.T @ design + reg)
     for i in range(n):
         # hybrids: [m+2, n_bg, d] -> flatten for one batched predict
         hyb = np.where(z_full[:, None, :] == 1.0, x[i][None, None, :],
@@ -223,7 +230,7 @@ def kernel_shap(predict_fn: Callable, x: np.ndarray, background: np.ndarray,
         preds = np.asarray(predict_fn(hyb.reshape(-1, d)), np.float32)
         fz = preds.reshape(m + 2, len(bg)).mean(1)
         target = fz - f_bg
-        phis[i] = a_inv @ (zw.T @ target)
+        phis[i] = (a_inv @ (dw.T @ target))[:d]
     return phis
 
 

@@ -34,10 +34,11 @@ def write_trials_csv(path: str, trials) -> None:
     if not trials:
         return
     keys = list(trials[0].keys())
-    with open(path, "w") as f:
-        f.write(",".join(str(k) for k in keys) + "\n")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)          # quotes tuple-valued params (mlp hidden)
+        w.writerow(keys)
         for t in trials:
-            f.write(",".join(str(t.get(k, "")) for k in keys) + "\n")
+            w.writerow([t.get(k, "") for k in keys])
 
 
 def append_jsonl(path: str, record: Dict, add_time: bool = True) -> None:

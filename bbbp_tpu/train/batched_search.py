@@ -8,8 +8,9 @@ the baseline, Models/model.py:136-199). TPU-first redesign (SURVEY.md §7.5
 "random hyperparameter search as a sharded trial axis"): for every JAX zoo
 family the (trial, fold) grid trains in ONE jit — the fold axis is an inner
 vmap over per-fold gathered train sets, the trial axis an outer vmap over
-traced hyperparameters — so 250 fits cost roughly one fit of wall-clock, and
-the trial axis shards over a mesh 'data' axis when one is passed.
+traced hyperparameters — so 250 fits cost roughly one fit of wall-clock.
+(Single-device by design: the batched (trial × fold) axes already fill one
+chip; sharding the trial axis over a mesh is future work, not current API.)
 
 Forest models (static tree count/depth) group trials by their static shape
 and vmap each group over folds with traced (lr, lambda, subsample, colsample).
@@ -238,6 +239,11 @@ def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
     the SHARED binned matrix with per-fold row weights. Hyperparameters
     (lr, lambda, subsample, colsample) are traced, so every fit with the same
     static (n_estimators, depth, oblivious, rf) hits one compile.
+
+    The BinMapper is fit once on ALL rows (validation folds included): bin
+    edges are transductive during the search. This is unsupervised quantile
+    binning used only for trial RANKING, so it's acceptable here; the honest
+    protocols' final fits bin on train rows only.
 
     NOTE: a vmapped (trial × fold) lane axis around the histogram scatters
     retriggers the platform's cumulative-scatter fault even under the

@@ -33,6 +33,10 @@ class CVResult:
     batch_stats: Any
     train_losses: np.ndarray      # [K, epochs]
     fold_test_idx: list           # list of K index arrays
+    oof_seeds: Optional[np.ndarray] = None   # [n_seeds, N] per-replica OOF
+                                  # (the replica axis doubles as a TRIAL axis
+                                  # for hyperparameter search — see
+                                  # replica_hparams in train_cv)
 
 
 def kfold_indices(n: int, k: int, seed: int = 42) -> list:
@@ -87,6 +91,7 @@ def train_cv(
     val_frac: float = 0.1,
     fold_affine=None,
     warm_start=None,
+    replica_hparams: Optional[Dict[str, np.ndarray]] = None,
 ) -> CVResult:
     """Train `model(*inputs, train=)` on all folds at once; return OOF preds.
 
@@ -115,6 +120,16 @@ def train_cv(
     MLM-pretrained encoder trunk). Every leaf whose path+shape matches the
     freshly initialised per-fold params is broadcast across the fold axis;
     non-matching leaves (new heads) keep their per-fold random init.
+
+    ``replica_hparams``: optional dict of per-replica optimizer
+    hyperparameters (keys from optax.adamw's signature, e.g.
+    ``learning_rate`` / ``weight_decay``), each a length-``n_seeds`` (or
+    length-K) float array. The optimizer is built with
+    ``optax.inject_hyperparams`` so the values live in (vmapped) optimizer
+    STATE rather than the compiled program — every replica trains with its
+    own lr/wd in the same jit. This turns the seed-replica axis into a
+    batched hyperparameter TRIAL axis (read per-trial OOF from
+    ``CVResult.oof_seeds``) at one compile for the whole search.
     """
     n = len(y)
     folds = kfold_indices(n, n_folds, split_seed if split_seed is not None else seed)
@@ -148,7 +163,11 @@ def train_cv(
                 for v in fa)
             for i, fa in enumerate(fold_affine))
 
-    tx = make_optimizer(lr, weight_decay)
+    if replica_hparams:
+        tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, weight_decay=weight_decay)
+    else:
+        tx = make_optimizer(lr, weight_decay)
     root = jax.random.PRNGKey(seed)
     init_keys = jax.random.split(root, k)
 
@@ -164,6 +183,17 @@ def train_cv(
     # jit the vmapped init: eager init dispatches hundreds of tiny ops
     # individually (catastrophic over the axon tunnel — one RPC per op)
     params, batch_stats, opt_state = jax.jit(jax.vmap(init_one))(init_keys)
+    if replica_hparams:
+        def _per_k(v):
+            v = np.asarray(v, np.float32)
+            if v.shape == (n_seeds,):                 # one value per replica
+                v = np.repeat(v, n_folds)             # row s*n_folds+i layout
+            assert v.shape == (k,), (v.shape, k)
+            return jnp.asarray(v)
+        hp = dict(opt_state.hyperparams)
+        for name, v in replica_hparams.items():
+            hp[name] = _per_k(v)
+        opt_state = opt_state._replace(hyperparams=hp)
     if warm_start is not None:
         def merge(a, b):
             if isinstance(a, dict):
@@ -360,13 +390,17 @@ def train_cv(
     else:
         preds_kn = np.asarray(predict_all(params, batch_stats), dtype=np.float32)
     # average over seed replicas: replica r of fold i sits at row r*n_folds+i
-    preds_fn = preds_kn.reshape(n_seeds, n_folds, n).mean(axis=0)   # [F, N]
+    preds_sn = preds_kn.reshape(n_seeds, n_folds, n)
+    preds_fn = preds_sn.mean(axis=0)                                # [F, N]
     oof = np.zeros(n, dtype=np.float32)
     fold_of = np.zeros(n, dtype=np.int32)
+    oof_seeds = np.zeros((n_seeds, n), dtype=np.float32)
     for i, te in enumerate(folds):
         oof[te] = preds_fn[i, te]
+        oof_seeds[:, te] = preds_sn[:, i, te]
         fold_of[te] = i
-    return CVResult(oof, fold_of, params, batch_stats, losses_hist, folds)
+    return CVResult(oof, fold_of, params, batch_stats, losses_hist, folds,
+                    oof_seeds=oof_seeds)
 
 
 def train_multimodal_cv(model, fp, img, y, **kw) -> CVResult:

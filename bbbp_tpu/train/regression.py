@@ -41,7 +41,8 @@ import numpy as np
 from bbbp_tpu.models.transformer_cnn import MultiModalRegressor
 from bbbp_tpu.ops import PCA, StandardScaler, metrics
 from bbbp_tpu.ops.forest_tpu import TPUGBDTRegressor as GBDTRegressor, TPURandomForestRegressor as RandomForestRegressor
-from bbbp_tpu.ops.linear import LinearRegression, Ridge, KNeighborsRegressor
+from bbbp_tpu.ops.linear import (LinearRegression, NonNegativeLinearRegression,
+                                 Ridge, RidgeCV, KNeighborsRegressor)
 from bbbp_tpu.pipelines.preprocess import PreprocessConfig, ProcessedData, preprocess_regression
 from bbbp_tpu.train.loop import train_cv, kfold_indices
 
@@ -98,7 +99,7 @@ class RegressionTrainConfig:
                                  # engine trains at any width since the
                                  # scatter-budget fix; ablations still favor
                                  # compressed for wide fps, so default off)
-    meta: str = "linear"          # linear | ridge
+    meta: str = "linear"          # linear | ridge | ridgecv | nnls
     extra_legs: bool = True       # + kNN and ridge OOF legs (B9-style pool)
     out_dir: Optional[str] = None  # write plots/CSVs/model artifacts here
     image_size: int = 128
@@ -188,7 +189,15 @@ def _fold_affine_from(raw_blocks, folds, n_seedless_folds):
             mu = flat[tr].mean(0)
             sd = flat[tr].std(0)
             means.append(mu)
-            inv.append(1.0 / np.maximum(sd, 1e-6))
+            # StandardScaler semantics: zero-variance train columns pass
+            # through unscaled (inv=1) instead of 1/eps — rare fp bits /
+            # flat image pixels constant in one fold's train rows otherwise
+            # get scaled 1e6x on test rows and blow up the NN leg (round-2
+            # strict artifact had nn R2=-663028). inv is additionally capped
+            # at 1e3: features that near-constant carry no signal worth a
+            # larger dynamic range.
+            inv.append(np.where(sd < 1e-6, 1.0,
+                                1.0 / np.maximum(sd, 1e-3)).astype(np.float32))
         shape = raw.shape[1:]
         aff.append((np.stack(means).reshape((-1,) + shape),
                     np.stack(inv).reshape((-1,) + shape)))
@@ -379,7 +388,9 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
 
     # ---------------- stacking ---------------------------------------------
     stack_x = np.stack([oof[k] for k in leg_names], axis=1)
-    meta_ctor = (lambda: Ridge(1.0)) if cfg.meta == "ridge" else LinearRegression
+    meta_ctor = {"ridge": lambda: Ridge(1.0), "ridgecv": RidgeCV,
+                 "nnls": NonNegativeLinearRegression,
+                 "linear": LinearRegression}[cfg.meta]
     meta = meta_ctor().fit(stack_x, y)
     stacked_insample = np.asarray(meta.predict(stack_x))
     stacked_cv = _crossfit_stack(stack_x, y, folds, meta_ctor)
@@ -436,7 +447,8 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--fusion", default="multihead",
                     choices=["multihead", "gate", "crossmodal"])
-    ap.add_argument("--meta", default="linear", choices=["linear", "ridge"])
+    ap.add_argument("--meta", default="linear",
+                    choices=["linear", "ridge", "ridgecv", "nnls"])
     ap.add_argument("--patience", type=int, default=None)
     ap.add_argument("--no-graph-leg", action="store_true")
     ap.add_argument("--bert-leg", action="store_true",

@@ -152,12 +152,22 @@ def main() -> None:
     smiles = _real_feedstock(n_mols)
     stream = ((s, f"B3DB{i:09d}") for i, s in enumerate(smiles))
 
+    # multi-chip hosts shard the molecule axis over a 'data' mesh so the
+    # per-chip division below reflects devices actually used (single-chip
+    # tunnel: mesh=None, n_chips=1 — same behavior as before)
+    mesh = None
+    if n_chips > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(_np.array(jax.devices()), ("data",))
+
     # warmup at the SAME chunk size: one compiled executable serves every chunk
     chunk = 16384
     warm = [(s, "w") for s in smiles[:chunk]]
-    screen(model, iter(warm), out_csv=None, chunk_size=chunk)
+    screen(model, iter(warm), out_csv=None, chunk_size=chunk, mesh=mesh)
 
-    stats = screen(model, stream, out_csv=None, chunk_size=chunk)
+    stats = screen(model, stream, out_csv=None, chunk_size=chunk, mesh=mesh)
     per_chip = stats.mol_per_s / max(n_chips, 1)
     baseline = 1_000_000.0 / 3600.0 / 8.0  # 34.72 mol/s/chip on v5e-8
 

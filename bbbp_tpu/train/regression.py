@@ -87,12 +87,20 @@ class RegressionTrainConfig:
     # surrogate on the enriched features)
     rf_trees: int = 300
     rf_depth: int = 10
+    rf_colsample: float = 1.0
+    rf_lambda: float = 1e-6
     gbdt_trees: int = 400
     gbdt_lr: float = 0.05
     gbdt_depth: int = 6
+    gbdt_subsample: float = 0.8
+    gbdt_colsample: float = 1.0
+    gbdt_lambda: float = 1.0
     cat_trees: int = 400
     cat_lr: float = 0.08
     cat_depth: int = 6
+    cat_subsample: float = 0.8
+    cat_colsample: float = 1.0
+    cat_lambda: float = 1.0
     tree_seeds: int = 3          # seed-bagged forests per fold
     tree_raw_fp: bool = False    # feed trees the raw wide fingerprint bits
                                  # instead of a PCA-256 compression (the
@@ -368,17 +376,25 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             sd = cfg.seed + i + 101 * s
             rf = RandomForestRegressor(n_estimators=cfg.rf_trees,
                                        max_depth=cfg.rf_depth,
+                                       colsample=cfg.rf_colsample,
+                                       reg_lambda=cfg.rf_lambda,
                                        seed=sd).fit(xt[tr], y[tr])
             oof["rf"][te] += rf.predict(xt[te])
             gb = GBDTRegressor(n_estimators=cfg.gbdt_trees,
                                learning_rate=cfg.gbdt_lr,
-                               max_depth=cfg.gbdt_depth, subsample=0.8,
+                               max_depth=cfg.gbdt_depth,
+                               subsample=cfg.gbdt_subsample,
+                               colsample=cfg.gbdt_colsample,
+                               reg_lambda=cfg.gbdt_lambda,
                                seed=sd).fit(xt[tr], y[tr])
             oof["gbdt"][te] += gb.predict(xt[te])
             cat = GBDTRegressor(n_estimators=cfg.cat_trees,
                                 learning_rate=cfg.cat_lr,
                                 max_depth=cfg.cat_depth, oblivious=True,
-                                subsample=0.8, seed=sd).fit(xt[tr], y[tr])
+                                subsample=cfg.cat_subsample,
+                                colsample=cfg.cat_colsample,
+                                reg_lambda=cfg.cat_lambda,
+                                seed=sd).fit(xt[tr], y[tr])
             oof["cat"][te] += cat.predict(xt[te])
         for m in ("rf", "gbdt", "cat"):
             oof[m][te] /= max(1, cfg.tree_seeds)
@@ -402,6 +418,15 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     report["stacked"] = metrics.regression_report(y, stacked)
     report["stacked_insample"] = metrics.regression_report(y, stacked_insample)
     report["stacked_crossfit"] = metrics.regression_report(y, stacked_cv)
+    # all meta-learner variants on the same OOF matrix (diagnostic — the
+    # headline remains cfg.meta; in-sample fit like the reference :394-403,
+    # plus the cross-fitted version of each)
+    for mname, ctor in (("linear", LinearRegression), ("ridge", lambda: Ridge(1.0)),
+                        ("ridgecv", RidgeCV), ("nnls", NonNegativeLinearRegression)):
+        m_in = np.asarray(ctor().fit(stack_x, y).predict(stack_x))
+        report[f"meta_{mname}"] = metrics.regression_report(y, m_in)
+        m_cv = _crossfit_stack(stack_x, y, folds, ctor)
+        report[f"meta_{mname}_crossfit"] = metrics.regression_report(y, m_cv)
     if verbose:
         for k, r in report.items():
             print(f"[regression] {k:17s} R2={r['r2']:.4f} MSE={r['mse']:.4f}")

@@ -121,6 +121,41 @@ class TestStrictAffine:
         assert np.all(inv <= 1e3 + 1e-3)     # inv capped
 
 
+def _tiny_processed(n=72, d_fp=24, img=8, seed=0):
+    from bbbp_tpu.pipelines.preprocess import PreprocessConfig, ProcessedData
+
+    rng = np.random.default_rng(seed)
+    fp = rng.normal(size=(n, d_fp)).astype(np.float32)
+    im = rng.normal(size=(n, img * img * 3)).astype(np.float32)
+    y = (fp[:, 0] - fp[:, 1] + 0.1 * rng.normal(size=n)).astype(np.float32)
+    pca = rng.normal(size=(n, 5)).astype(np.float32)
+    return ProcessedData(
+        smiles=["C"] * n, y=y, fp_norm=fp, img_norm=im, fp_pca=pca,
+        img_pca=pca.copy(), interactions=None, outliers=np.zeros(n, bool),
+        numbers=np.arange(n), config=PreprocessConfig(image_size=img),
+        desc_norm=None, aux_fp_pca=None, fp_raw=fp, img_raw=im,
+        desc_raw=None, aux_fp_raw=None)
+
+
+class TestRegressionPipeline:
+    def test_tiny_run_reports_all_meta_variants(self):
+        from bbbp_tpu.train.regression import (RegressionTrainConfig,
+                                               run_regression)
+
+        d = _tiny_processed()
+        cfg = RegressionTrainConfig(
+            protocol="honest", n_folds=3, epochs=2, nn_seeds=1,
+            graph_leg=False, bert_leg=False, tree_seeds=1, snapshot_from=None,
+            rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8,
+            gbdt_subsample=0.9, gbdt_colsample=0.8, gbdt_lambda=2.0,
+            cat_colsample=0.7, rf_colsample=0.6, rf_lambda=0.5,
+            meta="nnls")
+        res = run_regression(cfg, data=d, verbose=False)
+        for k in ("stacked", "meta_linear", "meta_nnls_crossfit",
+                  "meta_ridgecv", "meta_ridge_crossfit"):
+            assert k in res.report and np.isfinite(res.report[k]["r2"]), k
+
+
 class TestPreprocessCache:
     def test_cache_roundtrip(self, tmp_path, monkeypatch):
         import pickle

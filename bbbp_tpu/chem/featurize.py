@@ -19,7 +19,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-FP_KINDS = ("morgan", "maccs", "rdkit", "pairs", "morgan_counts")
+FP_KINDS = ("morgan", "maccs", "rdkit", "pairs", "morgan_counts", "avalon")
 FP_SIZES = {"morgan": 2048, "maccs": 167, "rdkit": 2048, "pairs": 2048,
             "morgan_counts": 2048}
 
@@ -28,6 +28,7 @@ def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
     smiles_chunk, kind, n_bits, radius = args
     from bbbp_tpu.chem.smiles import MolFromSmiles
     from bbbp_tpu.chem.fingerprints import (
+        avalon_fingerprint,
         morgan_fingerprint,
         morgan_count_fingerprint,
         maccs_fingerprint,
@@ -35,7 +36,7 @@ def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
         atom_pair_fingerprint,
     )
 
-    dim = 167 if kind == "maccs" else n_bits
+    dim = {"maccs": 167, "avalon": 512}.get(kind, n_bits)
     out = np.zeros((len(smiles_chunk), dim), dtype=np.float32)
     bad: List[int] = []
     for i, s in enumerate(smiles_chunk):
@@ -53,6 +54,8 @@ def _featurize_chunk(args) -> Tuple[np.ndarray, List[int]]:
             out[i] = path_fingerprint(mol, n_bits=n_bits)
         elif kind == "pairs":
             out[i] = atom_pair_fingerprint(mol, n_bits=n_bits)
+        elif kind == "avalon":
+            out[i] = avalon_fingerprint(mol)
         else:
             raise ValueError(f"unknown fingerprint kind {kind!r}")
     return out, bad
@@ -101,7 +104,7 @@ def fingerprints(smiles: Sequence[str], kind: str = "morgan", n_bits: int = 2048
         raise ValueError(f"kind must be one of {FP_KINDS}")
     smiles = list(smiles)
     if not smiles:
-        dim = 167 if kind == "maccs" else n_bits
+        dim = {"maccs": 167, "avalon": 512}.get(kind, n_bits)
         return FeaturizeResult(np.zeros((0, dim), dtype=np.float32))
     if use_native and kind in ("morgan", "rdkit", "maccs"):
         try:

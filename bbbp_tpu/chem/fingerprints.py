@@ -273,6 +273,57 @@ def atom_pair_fingerprint(mol: Mol, n_bits: int = 2048,
 
 
 # ---------------------------------------------------------------------------
+# Avalon-style substructure-class fingerprint
+# ---------------------------------------------------------------------------
+
+def avalon_bits(mol: Mol, n_bits: int = 512) -> Set[int]:
+    """Avalon-style fingerprint: hashed union of several substructure feature
+    CLASSES, following the design of Gedeck's Avalon FP (augmented atoms,
+    short paths, atom pairs, ring features). The reference's optional 4th
+    fingerprint kind is pyAvalonTools.GetAvalonFP — None when uninstalled
+    (/root/reference/Descriptors/create_descriptors.py:26-31); this is a
+    functional stand-in over the same feature classes, NOT a bit-exact port
+    of the proprietary enumeration."""
+    bits: Set[int] = set()
+
+    def add(cls: int, h: int) -> None:
+        bits.add(_mix(cls * 0x9E3779B1 + 1, h) % n_bits)
+
+    # augmented atoms: atom invariant + sorted (bond code, neighbor invariant)
+    inv = [_atom_invariant(mol, i) for i in range(len(mol.atoms))]
+    for i in range(len(mol.atoms)):
+        env = sorted(
+            _mix(_bond_code(mol.bonds[b].order),
+                 inv[mol.bonds[b].other(i)])
+            for b in mol.neighbors[i])
+        h = inv[i]
+        for e in env:
+            h = _mix(h, e)
+        add(1, h)
+    # short linear paths (the dominant Avalon class)
+    for b in path_bits(mol, min_path=1, max_path=5, n_bits=1 << 30):
+        add(2, b)
+    # topological atom pairs at short range
+    for b in atom_pair_bits(mol, n_bits=1 << 30, max_dist=7):
+        add(3, b)
+    # ring features: (size, n_aromatic_members, n_hetero_members) per ring
+    for ring in mol.rings:
+        n_arom = sum(1 for a in ring if mol.atoms[a].aromatic)
+        n_het = sum(1 for a in ring if mol.atoms[a].symbol not in ("C", "H"))
+        add(4, _mix(_mix(len(ring), n_arom), n_het))
+    return bits
+
+
+def avalon_fingerprint(mol: Mol, n_bits: int = 512,
+                       dtype=np.float32) -> np.ndarray:
+    fp = np.zeros(n_bits, dtype=dtype)
+    idx = list(avalon_bits(mol, n_bits))
+    if idx:
+        fp[np.asarray(idx, dtype=np.int64)] = 1
+    return fp
+
+
+# ---------------------------------------------------------------------------
 # MACCS-style 167-bit structural keys
 # ---------------------------------------------------------------------------
 

@@ -1,10 +1,15 @@
 """Baseline 8-model comparison pipeline (family A1-A3).
 
 Reference: ``Models/model.py:26-466`` ``morgan_train_model`` — Scale → PCA(100)
-→ split → (GridSearchCV) KNN/LR/SVC/BernoulliNB/DT/RF/GB/MLP → learning curves
-→ per-model metrics + bar chart → per-model persistence → best model by
-Acc+AUC+BalAcc. Clones: model_maccs.py / model_rdkit.py (fp kind), the
-Descriptors copies (A3).
+→ split → per-model GridSearchCV(cv=5, scoring='f1') over
+KNN/LR/SVC/BernoulliNB/DT/RF/GB/MLP → learning curves → per-model metrics +
+bar chart → per-model persistence → best model by Acc+AUC+BalAcc. Clones:
+model_maccs.py / model_rdkit.py (fp kind), the Descriptors copies (A3).
+
+TPU design: the per-model grid runs on the batched (trial × fold) device axes
+(train.batched_search.batched_grid_search) — the whole Cartesian product of a
+model's grid trains in one jit for the scatter-free families; forest grids
+keep one static shape and grid the traced dims. ``tune=False`` skips it.
 """
 
 from __future__ import annotations
@@ -22,8 +27,27 @@ import numpy as np
 from bbbp_tpu.chem.featurize import fingerprints
 from bbbp_tpu.data import load_b3db_classification
 from bbbp_tpu.ops import PCA, StandardScaler, metrics
-from bbbp_tpu.train.classification import default_zoo
+from bbbp_tpu.train.classification import _factory_from_params, default_zoo
 from bbbp_tpu.train.learning_curve import learning_curve, save_learning_scores_csv
+
+# per-model grids mirroring the reference's param_grid_* dicts
+# (Models/model.py:136-199 and the per-model blocks that follow), mapped to
+# this zoo's parameters. Forest grids keep ONE static (n_estimators, depth)
+# shape and grid the traced dims so each model costs a single compile.
+GRID_SPACES: Dict[str, Dict] = {
+    "knn": {"n_neighbors": [3, 5, 7, 9, 11]},                 # model.py:138-142
+    "logreg": {"l2": [100.0, 10.0, 1.0, 0.1, 0.01]},          # C grid :195-198
+    "svc": {"C": [0.01, 0.1, 1.0, 10.0, 100.0]},
+    "bnb": {"alpha": [0.01, 0.1, 0.5, 1.0, 2.0]},
+    "dt": {"n_estimators": [1], "learning_rate": [1.0], "max_depth": [12],
+           "reg_lambda": [0.1, 1.0, 10.0], "colsample": [0.7, 1.0]},
+    "rf": {"rf": [True], "n_estimators": [300], "max_depth": [10],
+           "colsample": [0.5, 0.8, 1.0], "reg_lambda": [1e-6, 0.1]},
+    "gb": {"n_estimators": [300], "max_depth": [6],
+           "learning_rate": [0.05, 0.1, 0.2], "subsample": [0.8, 1.0]},
+    "mlp": {"hidden": [(64,), (128,), (128, 64)],
+            "lr": [1e-3, 3e-3], "l2": [1e-5], "n_steps": [800]},
+}
 
 
 @dataclass
@@ -38,6 +62,11 @@ class BaselineConfig:
     workers: Optional[int] = None
     out_dir: Optional[str] = None
     limit: Optional[int] = None
+    # per-model GridSearchCV stage (reference model.py:136-199); grid runs
+    # batched on device. tune_models=None tunes every model in `models`.
+    tune: bool = True
+    grid_folds: int = 5
+    tune_models: Optional[Tuple[str, ...]] = None
 
 
 def run_baseline(cfg: BaselineConfig = BaselineConfig(),
@@ -58,9 +87,31 @@ def run_baseline(cfg: BaselineConfig = BaselineConfig(),
     te, tr = perm[:n_test], perm[n_test:]
 
     zoo = default_zoo(cfg.seed)
+    best_params: Dict[str, Dict] = {}
+    if cfg.tune:
+        from bbbp_tpu.train.batched_search import batched_grid_search
+
+        to_tune = [m for m in cfg.models if m in GRID_SPACES
+                   and (cfg.tune_models is None or m in cfg.tune_models)]
+        for name in to_tune:
+            res = batched_grid_search(name, x[tr], y[tr], GRID_SPACES[name],
+                                      cv=cfg.grid_folds, seed=cfg.seed,
+                                      scoring="f1")
+            zoo[name] = _factory_from_params(name, res.best_params, cfg.seed)
+            best_params[name] = {**res.best_params,
+                                 "cv_f1": float(res.best_score)}
+            if verbose:
+                print(f"[baseline] grid {name}: cv_f1={res.best_score:.4f} "
+                      f"{res.best_params}")
     report: Dict[str, Dict[str, float]] = {}
     if cfg.out_dir:
         os.makedirs(cfg.out_dir, exist_ok=True)
+        if best_params:
+            with open(os.path.join(cfg.out_dir, "grid_best_params.json"),
+                      "w") as f:
+                json.dump({m: {k: (list(v) if isinstance(v, tuple) else v)
+                               for k, v in p.items()}
+                           for m, p in best_params.items()}, f, indent=1)
     for name in cfg.models:
         if name not in zoo:
             continue
@@ -116,10 +167,12 @@ def main():
     ap.add_argument("--out-dir", default="baseline_output")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--no-curves", action="store_true")
+    ap.add_argument("--no-tune", action="store_true",
+                    help="skip the per-model GridSearchCV stage")
     args = ap.parse_args()
     rep = run_baseline(BaselineConfig(fp_kind=args.fp_kind, out_dir=args.out_dir,
                                       with_learning_curves=not args.no_curves,
-                                      limit=args.limit))
+                                      limit=args.limit, tune=not args.no_tune))
     print(json.dumps(rep, indent=2))
 
 

@@ -49,25 +49,31 @@ def padded_cv_arrays(n: int, folds: List[np.ndarray]):
 
 
 def _masked_scores(proba_kv, y_kv, mask_kv):
-    """accuracy + precision over the whole masked (fold, val) grid."""
+    """(accuracy, precision, f1) over the whole masked (fold, val) grid.
+    f1 supports the A1 baseline's GridSearchCV(scoring='f1') protocol
+    (reference Models/model.py:174, :199 …)."""
     pred = (proba_kv > 0.5).astype(jnp.float32)
     correct = (pred == y_kv).astype(jnp.float32) * mask_kv
     acc = correct.sum() / mask_kv.sum()
     tp = (pred * y_kv * mask_kv).sum()
     fp = (pred * (1 - y_kv) * mask_kv).sum()
+    fn = ((1 - pred) * y_kv * mask_kv).sum()
     prec = tp / jnp.maximum(tp + fp, 1e-9)
-    return acc, prec
+    rec = tp / jnp.maximum(tp + fn, 1e-9)
+    f1 = 2 * prec * rec / jnp.maximum(prec + rec, 1e-9)
+    return acc, prec, f1
 
 
 def _masked_r2(pred_kv, y_kv, mask_kv):
-    """(R², -MSE) over the whole masked (fold, val) grid — the out-of-fold
-    metric the regression pipeline reports."""
+    """(R², -MSE, -MSE) over the whole masked (fold, val) grid — the
+    out-of-fold metric the regression pipeline reports (third slot keeps the
+    classification path's (acc, prec, f1) arity)."""
     m = mask_kv
     n = m.sum()
     mse = (((pred_kv - y_kv) ** 2) * m).sum() / n
     mu = (y_kv * m).sum() / n
     var = (((y_kv - mu) ** 2) * m).sum() / n
-    return 1.0 - mse / jnp.maximum(var, 1e-12), -mse
+    return 1.0 - mse / jnp.maximum(var, 1e-12), -mse, -mse
 
 
 # ---------------------------------------------------------------------------
@@ -223,14 +229,15 @@ def _knn_cv(x, y, tr_idx, va_idx, va_mask, ks: Sequence[int]):
     lbl = neighbor_labels(jnp.asarray(x), jnp.asarray(y),
                           jnp.asarray(tr_idx), jnp.asarray(va_idx))  # [K,V,maxk]
     csum = jnp.cumsum(lbl, axis=-1)
-    accs, precs = [], []
+    accs, precs, f1s = [], [], []
     for k in ks:
         proba = csum[..., k - 1] / k
-        a, p = _masked_scores(proba, jnp.asarray(y)[jnp.asarray(va_idx)],
-                              jnp.asarray(va_mask))
+        a, p, f = _masked_scores(proba, jnp.asarray(y)[jnp.asarray(va_idx)],
+                                 jnp.asarray(va_mask))
         accs.append(float(a))
         precs.append(float(p))
-    return np.asarray(accs), np.asarray(precs)
+        f1s.append(float(f))
+    return np.asarray(accs), np.asarray(precs), np.asarray(f1s)
 
 
 def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
@@ -245,6 +252,12 @@ def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
     binning used only for trial RANKING, so it's acceptable here; the honest
     protocols' final fits bin on train rows only.
 
+    Shapes are BUCKETED: rows pad (weight 0) to a multiple of 1024 and the
+    per-fold validation width to a multiple of 256, so the compiled
+    fit/score programs are shared across datasets of similar size — e.g. one
+    compile serves all three fingerprints' searches (remote compiles on the
+    tunnel cost minutes; row padding costs microseconds of MXU time).
+
     NOTE: a vmapped (trial × fold) lane axis around the histogram scatters
     retriggers the platform's cumulative-scatter fault even under the
     per-launch budget (the batched-scatter lowering multiplies the counted
@@ -257,29 +270,42 @@ def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
     x = np.asarray(x, np.float32)
     y32 = np.asarray(y, np.float32)
     n = len(y32)
-    mapper = BinMapper().fit(x)
-    xb = jnp.asarray(mapper.transform(x))
+    mapper = BinMapper().fit(x)                       # edges from REAL rows
+    xb_real = mapper.transform(x)
     F = x.shape[1]
+    n_pad = -n % 1024
+    xb = jnp.asarray(np.concatenate(
+        [xb_real, np.zeros((n_pad, F), xb_real.dtype)]) if n_pad else xb_real)
+    y32 = np.concatenate([y32, np.zeros(n_pad, np.float32)])
+    x_pad = (np.concatenate([x, np.zeros((n_pad, F), np.float32)])
+             if n_pad else x)
     edge_vals = np.full((F, MAX_BINS), np.inf, dtype=np.float32)
     for f, e in enumerate(mapper.edges_):
         if len(e):
             edge_vals[f, : len(e)] = e
     edge_vals = jnp.asarray(edge_vals)
     tr_idx, va_idx, va_mask = padded_cv_arrays(n, folds)
-    w_kn = np.zeros((len(folds), n), np.float32)
+    v_pad = -va_idx.shape[1] % 256
+    if v_pad:
+        va_idx = np.concatenate(
+            [va_idx, np.zeros((len(folds), v_pad), va_idx.dtype)], axis=1)
+        va_mask = np.concatenate(
+            [va_mask, np.zeros((len(folds), v_pad), va_mask.dtype)], axis=1)
+    w_kn = np.zeros((len(folds), n + n_pad), np.float32)
     for i in range(len(folds)):
         w_kn[i][tr_idx[i]] = 1.0                      # wrap-pad dups collapse
     w_kn_d = jnp.asarray(w_kn)
 
     acc = np.zeros(len(param_sets))
     prec = np.zeros(len(param_sets))
+    f1 = np.zeros(len(param_sets))
     if classify:
-        p0 = float(np.clip(y32.mean(), 1e-6, 1 - 1e-6))
+        p0 = float(np.clip(y32[:n].mean(), 1e-6, 1 - 1e-6))
         base = float(np.log(p0 / (1 - p0)))
     else:
-        base = float(y32.mean())
+        base = float(y32[:n].mean())                  # real rows only
     y_d = jnp.asarray(y32)
-    x_va_d = jnp.asarray(x[va_idx])                   # [K, V, F]
+    x_va_d = jnp.asarray(x_pad[va_idx])               # [K, V, F]
     y_va = y_d[jnp.asarray(va_idx)]
 
     score_jit = jax.jit(_dense_predict, static_argnums=(4,))
@@ -309,14 +335,15 @@ def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
         else:
             proba = 1 / (1 + np.exp(-raw)) if classify else raw
         score_fn = _masked_scores if classify else _masked_r2
-        a, pr = score_fn(jnp.asarray(proba), y_va, jnp.asarray(va_mask))
+        a, pr, f = score_fn(jnp.asarray(proba), y_va, jnp.asarray(va_mask))
         acc[t] = float(a)
         prec[t] = float(pr)
+        f1[t] = float(f)
         if verbose:
             print(f"[search] forest trial {t+1}/{len(param_sets)} "
                   f"{'r2' if not classify else 'acc'}={acc[t]:.4f} {p}",
                   flush=True)
-    return acc, prec
+    return acc, prec, f1
 
 
 # ---------------------------------------------------------------------------
@@ -330,16 +357,13 @@ class BatchedSearchResult:
     trials: List[Dict]
 
 
-def batched_random_search(model_name: str, x: np.ndarray, y: np.ndarray,
-                          dists: Dict, n_iter: int = 50, cv: int = 5,
-                          seed: int = 42, verbose: bool = False
-                          ) -> BatchedSearchResult:
-    """RandomizedSearchCV(n_iter, StratifiedKFold(cv), scoring={accuracy,
-    precision}, refit='accuracy') with the (trial, fold) grid batched on
-    device. Supported families: logreg, svc, bnb, mlp, knn, and the forest
-    models (dt/rf via gbdt surrogates handled by forest_cv in the caller)."""
-    rng = np.random.default_rng(seed)
-    params = [_sample_params(dists, rng) for _ in range(n_iter)]
+def _score_param_sets(model_name: str, x: np.ndarray, y: np.ndarray,
+                      params: List[Dict], cv: int, seed: int,
+                      verbose: bool) -> Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]:
+    """(accuracy[T], precision[T], f1[T]) for explicit trial param sets —
+    the shared core of batched_random_search / batched_grid_search."""
+    n_iter = len(params)
     folds = stratified_kfold_indices(y, cv, seed)
     tr_idx, va_idx, va_mask = padded_cv_arrays(len(y), folds)
     xd = jnp.asarray(x, jnp.float32)
@@ -349,9 +373,10 @@ def batched_random_search(model_name: str, x: np.ndarray, y: np.ndarray,
         keymap = {"logreg": ("l2",), "svc": ("C",), "bnb": ("alpha",)}[model_name]
         params_t = {k: jnp.asarray([p[k] for p in params], jnp.float32)
                     for k in keymap}
-        acc, prec = _batched_cv(xd, yd, jnp.asarray(tr_idx), jnp.asarray(va_idx),
-                                jnp.asarray(va_mask), params_t, model_name)
-        acc, prec = np.asarray(acc), np.asarray(prec)
+        acc, prec, f1 = _batched_cv(xd, yd, jnp.asarray(tr_idx),
+                                    jnp.asarray(va_idx),
+                                    jnp.asarray(va_mask), params_t, model_name)
+        acc, prec, f1 = np.asarray(acc), np.asarray(prec), np.asarray(f1)
     elif model_name == "mlp":
         # group by hidden (static shape); lr/l2/seed traced
         by_hidden: Dict[Tuple, List[int]] = {}
@@ -359,6 +384,7 @@ def batched_random_search(model_name: str, x: np.ndarray, y: np.ndarray,
             by_hidden.setdefault(tuple(p.get("hidden", (128,))), []).append(t)
         acc = np.zeros(n_iter)
         prec = np.zeros(n_iter)
+        f1 = np.zeros(n_iter)
         for hidden, t_ids in by_hidden.items():
             params_t = {
                 "lr": jnp.asarray([params[t].get("lr", 1e-3) for t in t_ids],
@@ -367,26 +393,72 @@ def batched_random_search(model_name: str, x: np.ndarray, y: np.ndarray,
                                   jnp.float32),
                 "seed": jnp.asarray([t for t in t_ids], jnp.int32),
             }
-            a, p = _batched_cv(
+            a, p, f = _batched_cv(
                 xd, yd, jnp.asarray(tr_idx), jnp.asarray(va_idx),
                 jnp.asarray(va_mask), params_t, "mlp",
                 static_kw=(("hidden", hidden),
                            ("n_steps", int(params[t_ids[0]].get("n_steps", 500)))))
             acc[t_ids] = np.asarray(a)
             prec[t_ids] = np.asarray(p)
+            f1[t_ids] = np.asarray(f)
     elif model_name == "knn":
         ks = [int(p["n_neighbors"]) for p in params]
-        acc, prec = _knn_cv(x, y, tr_idx, va_idx, va_mask, ks)
+        acc, prec, f1 = _knn_cv(x, y, tr_idx, va_idx, va_mask, ks)
     elif model_name in ("dt", "rf", "gb", "xgb", "cat"):
-        acc, prec = _forest_cv(x, y, folds, params, classify=True,
-                               verbose=verbose)
+        acc, prec, f1 = _forest_cv(x, y, folds, params, classify=True,
+                                   verbose=verbose)
     else:
         raise ValueError(f"no batched search kernel for {model_name!r}")
+    return acc, prec, f1
 
-    trials = [{**p, "mean_accuracy": float(a), "mean_precision": float(pr)}
-              for p, a, pr in zip(params, acc, prec)]
-    best_t = int(np.argmax(acc))
+
+def _rank_and_wrap(model_name, params, acc, prec, f1, scoring, verbose):
+    key = {"accuracy": acc, "precision": prec, "f1": f1}[scoring]
+    trials = [{**p, "mean_accuracy": float(a), "mean_precision": float(pr),
+               "mean_f1": float(f)}
+              for p, a, pr, f in zip(params, acc, prec, f1)]
+    best_t = int(np.argmax(key))
     if verbose:
-        print(f"[search] {model_name}: best acc={acc[best_t]:.4f} "
+        print(f"[search] {model_name}: best {scoring}={key[best_t]:.4f} "
               f"params={params[best_t]}")
-    return BatchedSearchResult(params[best_t], float(acc[best_t]), trials)
+    return BatchedSearchResult(params[best_t], float(key[best_t]), trials)
+
+
+def batched_random_search(model_name: str, x: np.ndarray, y: np.ndarray,
+                          dists: Dict, n_iter: int = 50, cv: int = 5,
+                          seed: int = 42, verbose: bool = False,
+                          scoring: str = "accuracy",
+                          extra_trials: Optional[List[Dict]] = None
+                          ) -> BatchedSearchResult:
+    """RandomizedSearchCV(n_iter, StratifiedKFold(cv), scoring={accuracy,
+    precision, f1}, refit=``scoring``) with the (trial, fold) grid batched on
+    device. Supported families: logreg, svc, bnb, mlp, knn, and the forest
+    models (dt/rf via gbdt surrogates handled by forest_cv in the caller).
+
+    ``extra_trials``: explicit param dicts prepended to the sampled ones —
+    used to seed each search with the hand-set default config so the refit
+    winner is never CV-worse than the default."""
+    rng = np.random.default_rng(seed)
+    params = list(extra_trials or []) + [
+        _sample_params(dists, rng) for _ in range(n_iter)]
+    acc, prec, f1 = _score_param_sets(model_name, x, y, params, cv, seed,
+                                      verbose)
+    return _rank_and_wrap(model_name, params, acc, prec, f1, scoring, verbose)
+
+
+def batched_grid_search(model_name: str, x: np.ndarray, y: np.ndarray,
+                        grid: Dict[str, Sequence], cv: int = 5,
+                        seed: int = 42, verbose: bool = False,
+                        scoring: str = "f1") -> BatchedSearchResult:
+    """GridSearchCV on the batched (trial × fold) device axes — the A1
+    baseline's per-model tuning stage (reference Models/model.py:136-199:
+    GridSearchCV(cv=5, scoring='f1') per model). The full Cartesian product
+    of ``grid`` becomes the trial axis; same kernels as the random search."""
+    import itertools
+
+    keys = list(grid.keys())
+    params = [dict(zip(keys, combo))
+              for combo in itertools.product(*(grid[k] for k in keys))]
+    acc, prec, f1 = _score_param_sets(model_name, x, y, params, cv, seed,
+                                      verbose)
+    return _rank_and_wrap(model_name, params, acc, prec, f1, scoring, verbose)

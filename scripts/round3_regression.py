@@ -44,19 +44,33 @@ def save_stage(name, obj):
 
 
 # ---- stage 0: health gate --------------------------------------------------
+# Probe in a SUBPROCESS with a hard timeout: a wedged TPU worker blocks the
+# first device op in uninterruptible tcp_recvmsg — an in-process probe would
+# wedge this whole campaign (learned round 3; round-2 memory: recovery takes
+# 2-20 min, gate every launch).
+import subprocess
+
+PROBE = ("import jax, jax.numpy as jnp; "
+         "assert float(jnp.ones((64,64)).sum())==4096.0; print('HEALTHY')")
+deadline = time.time() + 40 * 60
+while True:
+    try:
+        r = subprocess.run([sys.executable, "-u", "-c", PROBE],
+                           capture_output=True, text=True, timeout=180)
+        if "HEALTHY" in r.stdout:
+            break
+        log(f"probe rc={r.returncode}: {r.stderr.strip()[-200:]}")
+    except subprocess.TimeoutExpired:
+        log("probe timed out (worker busy/recovering)")
+    if time.time() > deadline:
+        raise SystemExit("TPU health gate failed for 40 min")
+    time.sleep(60)
+log("TPU probe healthy; importing jax in-process")
+
 import jax
 import jax.numpy as jnp
 
-deadline = time.time() + 570
-while True:
-    try:
-        assert float(jnp.ones((64, 64)).sum()) == 4096.0
-        break
-    except Exception as e:  # noqa: BLE001
-        if time.time() > deadline:
-            raise SystemExit(f"TPU health gate failed: {e}")
-        log(f"TPU not healthy yet ({type(e).__name__}); retrying...")
-        time.sleep(30)
+assert float(jnp.ones((64, 64)).sum()) == 4096.0
 log(f"TPU healthy: {jax.devices()}")
 
 from bbbp_tpu.pipelines.preprocess import ProcessedData
@@ -87,8 +101,8 @@ try:
             p.update(_sample_params(dists, rng))
             params.append(p)
         t0 = time.time()
-        r2s, _ = _forest_cv(xt, y, folds5, params, classify=False,
-                            verbose=True)
+        r2s = _forest_cv(xt, y, folds5, params, classify=False,
+                         verbose=True)[0]
         b = int(np.argmax(r2s))
         log(f"{name}: best r2={r2s[b]:.4f} {params[b]} "
             f"({time.time()-t0:.0f}s for {n_iter} trials)")

@@ -121,6 +121,56 @@ class TestStrictAffine:
         assert np.all(inv <= 1e3 + 1e-3)     # inv capped
 
 
+class TestAvalonFingerprint:
+    def test_shapes_and_determinism(self):
+        from bbbp_tpu.chem.featurize import fingerprints
+
+        smis = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "C1CCNCC1",
+                "not_a_smiles"]
+        r = fingerprints(smis, kind="avalon")
+        assert r.features.shape == (5, 512)
+        assert list(r.bad_indices) == [4]
+        assert r.features[:4].sum(axis=1).min() > 0    # every valid mol has bits
+        r2 = fingerprints(smis, kind="avalon")
+        np.testing.assert_array_equal(r.features, r2.features)
+        # distinct molecules get distinct bit patterns
+        assert not np.array_equal(r.features[0], r.features[1])
+
+    def test_ring_features_differ(self):
+        from bbbp_tpu.chem.featurize import fingerprints
+
+        # benzene vs pyridine differ only by one ring heteroatom — the ring
+        # feature class must separate them
+        r = fingerprints(["c1ccccc1", "c1ccncc1"], kind="avalon")
+        assert not np.array_equal(r.features[0], r.features[1])
+
+
+class TestGridSearch:
+    def test_grid_enumerates_product_and_ranks_by_f1(self):
+        from bbbp_tpu.train.batched_search import batched_grid_search
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(240, 6)).astype(np.float32)
+        y = ((x[:, 0] - x[:, 1]) > 0).astype(np.int32)
+        r = batched_grid_search("logreg", x, y,
+                                {"l2": [100.0, 1.0, 0.01]}, cv=3, seed=0)
+        assert len(r.trials) == 3
+        assert all("mean_f1" in t for t in r.trials)
+        assert r.best_score > 0.85
+
+    def test_extra_trials_seed_default(self):
+        from bbbp_tpu.train.batched_search import batched_random_search
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(200, 5)).astype(np.float32)
+        y = (x[:, 0] > 0).astype(np.int32)
+        r = batched_random_search(
+            "bnb", x, y, {"alpha": {"low": 0.1, "high": 5.0, "log": True}},
+            n_iter=3, cv=3, seed=0, extra_trials=[{"alpha": 1.0}])
+        assert len(r.trials) == 4
+        assert r.trials[0]["alpha"] == 1.0
+
+
 def _tiny_processed(n=72, d_fp=24, img=8, seed=0):
     from bbbp_tpu.pipelines.preprocess import PreprocessConfig, ProcessedData
 

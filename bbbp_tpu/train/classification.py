@@ -66,6 +66,10 @@ class ClassificationTrainConfig:
     # run as batched device axes (bbbp_tpu.train.batched_search)
     tune: bool = True
     n_search_iter: int = 50
+    # forest trials run as sequential launched fits (scatter-wall NOTE in
+    # batched_search._forest_cv), so they get their own, smaller budget;
+    # None = same as n_search_iter
+    n_search_iter_forest: Optional[int] = None
     search_folds: int = 5
     # restrict which models get searched (None = all). The deep-forest
     # statics cost a one-time 10-40 min remote compile on the tunnel;
@@ -178,10 +182,14 @@ def tune_zoo(x_tr: np.ndarray, y_tr: np.ndarray, names, cfg,
     zoo = {}
     trials = {}
     walls = {}
+    forest_iter = (cfg.n_search_iter if cfg.n_search_iter_forest is None
+                   else cfg.n_search_iter_forest)
     for m in names:
         t0 = time.time()
         res = batched_random_search(
-            m, x_tr, y_tr, SEARCH_SPACES[m], n_iter=cfg.n_search_iter,
+            m, x_tr, y_tr, SEARCH_SPACES[m],
+            n_iter=(forest_iter if m in ("dt", "rf", "gb", "xgb", "cat")
+                    else cfg.n_search_iter),
             cv=cfg.search_folds, seed=cfg.seed, verbose=False,
             extra_trials=[DEFAULT_TRIALS[m]] if m in DEFAULT_TRIALS else None)
         walls[m] = time.time() - t0

@@ -23,22 +23,14 @@ def log(msg):
     print(f"[r3cls +{time.time()-T0:7.0f}s] {msg}", flush=True)
 
 
-PROBE = ("import jax, jax.numpy as jnp; "
-         "assert float(jnp.ones((64,64)).sum())==4096.0; print('HEALTHY')")
-deadline = time.time() + 40 * 60
-while True:
-    try:
-        r = subprocess.run([sys.executable, "-u", "-c", PROBE],
-                           capture_output=True, text=True, timeout=180)
-        if "HEALTHY" in r.stdout:
-            break
-        log(f"probe rc={r.returncode}: {r.stderr.strip()[-200:]}")
-    except subprocess.TimeoutExpired:
-        log("probe timed out (worker busy/recovering)")
-    if time.time() > deadline:
-        raise SystemExit("TPU health gate failed for 40 min")
-    time.sleep(60)
-log("TPU probe healthy")
+# gate BEFORE launching this script (scripts/tpu_gate.sh) — this process
+# already holds the tile claim from sitecustomize, so in-script subprocess
+# probes would compete with it. First op doubles as the health check:
+import jax
+import jax.numpy as jnp
+
+assert float(jnp.ones((64, 64)).sum()) == 4096.0
+log(f"TPU healthy: {jax.devices()}")
 
 from bbbp_tpu.chem.featurize import fingerprints
 from bbbp_tpu.data import load_b3db_classification

@@ -43,30 +43,12 @@ def save_stage(name, obj):
         json.dump(state, f, indent=1)
 
 
-# ---- stage 0: health gate --------------------------------------------------
-# Probe in a SUBPROCESS with a hard timeout: a wedged TPU worker blocks the
-# first device op in uninterruptible tcp_recvmsg — an in-process probe would
-# wedge this whole campaign (learned round 3; round-2 memory: recovery takes
-# 2-20 min, gate every launch).
-import subprocess
-
-PROBE = ("import jax, jax.numpy as jnp; "
-         "assert float(jnp.ones((64,64)).sum())==4096.0; print('HEALTHY')")
-deadline = time.time() + 40 * 60
-while True:
-    try:
-        r = subprocess.run([sys.executable, "-u", "-c", PROBE],
-                           capture_output=True, text=True, timeout=180)
-        if "HEALTHY" in r.stdout:
-            break
-        log(f"probe rc={r.returncode}: {r.stderr.strip()[-200:]}")
-    except subprocess.TimeoutExpired:
-        log("probe timed out (worker busy/recovering)")
-    if time.time() > deadline:
-        raise SystemExit("TPU health gate failed for 40 min")
-    time.sleep(60)
-log("TPU probe healthy; importing jax in-process")
-
+# ---- stage 0: first-op check ----------------------------------------------
+# NOTE on gating: this process registered with the axon pool at interpreter
+# start (sitecustomize), so spawning probe SUBPROCESSES here would make them
+# compete with our own tile claim and always time out. Gate BEFORE launching
+# this script instead (scripts/tpu_gate.sh runs serial probes from a
+# jax-free shell); here we only verify the first op works.
 import jax
 import jax.numpy as jnp
 

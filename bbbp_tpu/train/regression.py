@@ -109,6 +109,11 @@ class RegressionTrainConfig:
                                  # compressed for wide fps, so default off)
     meta: str = "linear"          # linear | ridge | ridgecv | nnls
     extra_legs: bool = True       # + kNN and ridge OOF legs (B9-style pool)
+    tanimoto_leg: bool = True     # + Tanimoto-kNN similarity leg on the raw
+                                  # fingerprint bits (ops.similarity — the
+                                  # chemistry-native neighbor metric; one
+                                  # bit-matmul on the MXU per fold)
+    tknn_k: int = 10
     out_dir: Optional[str] = None  # write plots/CSVs/model artifacts here
     image_size: int = 128
     compat_batch: Optional[int] = None   # set automatically for protocol=compat
@@ -287,8 +292,20 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         leg_names.insert(1, "smiles")
     if cfg.extra_legs:
         leg_names += ["knn", "ridge"]
+    if cfg.tanimoto_leg:
+        leg_names.append("tknn")
     oof = {m: np.zeros(n, np.float32) for m in leg_names}
     oof["nn"] = nn_res.oof_pred
+
+    fp_bits = None
+    if cfg.tanimoto_leg:
+        from bbbp_tpu.chem.featurize import fingerprints as _fps
+        from bbbp_tpu.ops.similarity import TanimotoKNNRegressor
+
+        # raw binary bits recomputed from SMILES (the normalized matrices in
+        # ProcessedData are real-valued); one bit-matmul per fold on device
+        fp_bits = (_fps(data.smiles, kind=cfg.fp_kind).features > 0
+                   ).astype(np.float32)
 
     # ---------------- SMILES-encoder leg (pretrained transformer) ----------
     if cfg.bert_leg:
@@ -401,6 +418,9 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         if cfg.extra_legs:
             oof["knn"][te] = KNeighborsRegressor(10).fit(xt[tr], y[tr]).predict(xt[te])
             oof["ridge"][te] = Ridge(10.0).fit(xt[tr], y[tr]).predict(xt[te])
+        if cfg.tanimoto_leg:
+            oof["tknn"][te] = TanimotoKNNRegressor(cfg.tknn_k).fit(
+                fp_bits[tr], y[tr]).predict(fp_bits[te])
 
     # ---------------- stacking ---------------------------------------------
     stack_x = np.stack([oof[k] for k in leg_names], axis=1)

@@ -145,6 +145,39 @@ class TestAvalonFingerprint:
         assert not np.array_equal(r.features[0], r.features[1])
 
 
+class TestTanimoto:
+    def test_topk_matches_numpy(self):
+        from bbbp_tpu.ops.similarity import tanimoto_topk
+
+        rng = np.random.default_rng(0)
+        q = (rng.random((5, 64)) < 0.3).astype(np.float32)
+        r = (rng.random((20, 64)) < 0.3).astype(np.float32)
+        sim, idx = tanimoto_topk(q, r, 3)
+        inter = q @ r.T
+        union = q.sum(1)[:, None] + r.sum(1)[None] - inter
+        ref = inter / np.maximum(union, 1e-9)
+        for i in range(5):
+            order = np.argsort(-ref[i])[:3]
+            np.testing.assert_allclose(np.asarray(sim)[i], ref[i][order],
+                                       rtol=1e-5)
+
+    def test_knn_regressor_locality(self):
+        from bbbp_tpu.ops.similarity import TanimotoKNNRegressor
+
+        # two well-separated bit clusters with distinct targets
+        rng = np.random.default_rng(1)
+        a = (rng.random((40, 32)) < 0.5).astype(np.float32)
+        a[:, :16] = 0.0
+        b = (rng.random((40, 32)) < 0.5).astype(np.float32)
+        b[:, 16:] = 0.0
+        x = np.concatenate([a, b])
+        y = np.concatenate([np.full(40, 1.0), np.full(40, -1.0)]).astype(
+            np.float32)
+        m = TanimotoKNNRegressor(5).fit(x, y)
+        pred = m.predict(np.concatenate([a[:5], b[:5]]))
+        assert np.all(pred[:5] > 0.5) and np.all(pred[5:] < -0.5)
+
+
 class TestGridSearch:
     def test_grid_enumerates_product_and_ranks_by_f1(self):
         from bbbp_tpu.train.batched_search import batched_grid_search

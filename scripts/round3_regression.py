@@ -90,26 +90,20 @@ try:
             f"({time.time()-t0:.0f}s for {n_iter} trials)")
         return {**params[b], "search_r2": float(r2s[b])}
 
-    # statics match the final-run shapes exactly -> compiles amortize
-    best["gbdt"] = forest_search(
-        "gbdt", {"n_estimators": 400, "max_depth": 6},
-        {"learning_rate": {"low": 0.02, "high": 0.12, "log": True},
-         "reg_lambda": {"low": 0.3, "high": 10.0, "log": True},
-         "subsample": {"low": 0.6, "high": 1.0},
-         "colsample": {"low": 0.5, "high": 1.0}}, 14)
-    save_stage("gbdt", best["gbdt"])
-    best["cat"] = forest_search(
-        "cat", {"n_estimators": 400, "max_depth": 6, "oblivious": True},
-        {"learning_rate": {"low": 0.03, "high": 0.15, "log": True},
-         "reg_lambda": {"low": 0.3, "high": 10.0, "log": True},
-         "subsample": {"low": 0.6, "high": 1.0},
-         "colsample": {"low": 0.5, "high": 1.0}}, 14)
-    save_stage("cat", best["cat"])
-    best["rf"] = forest_search(
-        "rf", {"n_estimators": 300, "max_depth": 10, "rf": True},
-        {"colsample": {"low": 0.3, "high": 1.0},
-         "reg_lambda": {"low": 1e-6, "high": 3.0, "log": True}}, 8)
-    save_stage("rf", best["rf"])
+    # statics match the final-run shapes exactly -> compiles amortize.
+    # NOTE (run 1, live): a 14-trial gbdt search measured the landscape FLAT
+    # (cv r2 0.601-0.611 across lr 0.032-0.083, lambda 1.4-7.0, wide
+    # sub/colsample) at ~2.5 min/trial — forest searches are low-ROI here,
+    # so only a small gbdt sweep runs and cat/rf keep the round-2 tuned
+    # defaults; the TPU budget goes to the NN-leg searches instead.
+    if os.environ.get("R3_FOREST_SEARCH", "small") != "off":
+        best["gbdt"] = forest_search(
+            "gbdt", {"n_estimators": 400, "max_depth": 6},
+            {"learning_rate": {"low": 0.02, "high": 0.12, "log": True},
+             "reg_lambda": {"low": 0.3, "high": 10.0, "log": True},
+             "subsample": {"low": 0.6, "high": 1.0},
+             "colsample": {"low": 0.5, "high": 1.0}}, 6)
+        save_stage("gbdt", best["gbdt"])
 except Exception as e:  # noqa: BLE001
     log(f"forest search FAILED ({type(e).__name__}: {e}); using defaults")
 
@@ -121,13 +115,13 @@ nn_fp = data.nn_fp_features()
 img = data.img_norm.reshape(n, 128, 128, 3)
 try:
     res = search_nn_cv(
-        lambda n_layers=4, fp_tokens=1: MultiModalRegressor(
+        lambda n_layers=4: MultiModalRegressor(
             fp_dim=nn_fp.shape[1], n_layers=n_layers, fusion="multihead",
-            fp_tokens=fp_tokens),
+            fp_tokens=1),
         (nn_fp, img), y,
         space={"learning_rate": {"low": 1.2e-4, "high": 1.2e-3, "log": True},
                "weight_decay": {"low": 1e-6, "high": 3e-4, "log": True},
-               "n_layers": [4, 5], "fp_tokens": [1, 4]},
+               "n_layers": [4, 5]},
         n_iter=16, n_folds=5, epochs=40, snapshot_from=33, batch_size=32,
         seed=11, verbose=True)
     best["nn"] = {**res.best_params, "search_r2": res.best_score}
@@ -195,7 +189,7 @@ def tuned_cfg(protocol):
     cfg = RegressionTrainConfig(
         protocol=protocol, graph_leg=True, bert_leg=True,
         bert_pretrained_dir=PRE_DIR,
-        nn_seeds=5, graph_seeds=4, bert_seeds=3, tree_seeds=5,
+        nn_seeds=4, graph_seeds=3, bert_seeds=3, tree_seeds=3,
         meta="nnls")
     if "nn" in best:
         cfg.lr = float(best["nn"]["learning_rate"])

@@ -239,6 +239,27 @@ class TestRegressionPipeline:
             assert k in res.report and np.isfinite(res.report[k]["r2"]), k
 
 
+class TestBaselineGrid:
+    def test_grid_stage_tunes_and_persists(self, tmp_path, monkeypatch):
+        from bbbp_tpu.train import baseline as bl
+
+        monkeypatch.setitem(bl.GRID_SPACES, "logreg",
+                            {"l2": [10.0, 0.1]})
+        monkeypatch.setitem(bl.GRID_SPACES, "bnb", {"alpha": [0.5, 1.0]})
+        rep = bl.run_baseline(bl.BaselineConfig(
+            fp_kind="maccs", models=("logreg", "bnb"), tune=True,
+            grid_folds=3, with_learning_curves=False, limit=250,
+            out_dir=str(tmp_path)), verbose=False)
+        assert "logreg" in rep and "bnb" in rep
+        import json as _json
+
+        with open(tmp_path / "grid_best_params.json") as f:
+            bp = _json.load(f)
+        assert set(bp) == {"logreg", "bnb"}
+        assert bp["logreg"]["l2"] in (10.0, 0.1)
+        assert "cv_f1" in bp["logreg"]
+
+
 class TestPreprocessCache:
     def test_cache_roundtrip(self, tmp_path, monkeypatch):
         import pickle

@@ -50,6 +50,7 @@ def search_nn_cv(model_ctor: Callable[..., object],
                  seed: int = 0,
                  fold_affine=None,
                  warm_start=None,
+                 max_replicas: int = 16,
                  verbose: bool = False) -> NNSearchResult:
     """Randomized search over ``space`` for a train_cv-trained model.
 
@@ -58,6 +59,12 @@ def search_nn_cv(model_ctor: Callable[..., object],
     defines a static group (one compile each). Scoring: per-trial OOF R²
     over the ``n_folds``-fold split (the pipeline's own metric, not a
     surrogate).
+
+    ``max_replicas`` caps the folds×trials replica count per jit — HBM holds
+    the whole batched state, and e.g. the image-CNN's pool-backward temp is
+    ~32 MB/replica/batch-row with TPU layout padding (a 40-replica launch
+    OOM'd a 16 GB v5e, measured live round 3). Trials chunk to
+    ``max_replicas // n_folds`` per launch; chunks reuse the group's compile.
     """
     rng = np.random.default_rng(seed)
     params = [_sample_params(space, rng) for _ in range(n_iter)]
@@ -67,31 +74,36 @@ def search_nn_cv(model_ctor: Callable[..., object],
                               if k not in TRACED_KEYS))
         groups.setdefault(static, []).append(t)
 
+    per_launch = max(1, max_replicas // n_folds)
     scores = np.full(n_iter, -np.inf, np.float32)
     oofs: List[Optional[np.ndarray]] = [None] * n_iter
     for static, t_ids in groups.items():
         static_kw = dict(static)
         model = model_ctor(**static_kw)
-        hp = {k: np.asarray([params[t].get(k, 0.0) for t in t_ids],
-                            np.float32)
-              for k in TRACED_KEYS if any(k in params[t] for t in t_ids)}
-        lr0 = float(hp.get("learning_rate", [3e-4])[0])
-        if verbose:
-            print(f"[nn-search] group {static_kw} x {len(t_ids)} trials "
-                  f"({n_folds} folds, {epochs} epochs, one jit)", flush=True)
-        res = train_cv(model, tuple(inputs), y, n_folds=n_folds,
-                       epochs=epochs, batch_size=batch_size, lr=lr0,
-                       seed=seed, split_seed=seed, n_seeds=len(t_ids),
-                       snapshot_from=snapshot_from,
-                       fold_affine=fold_affine, warm_start=warm_start,
-                       replica_hparams=hp)
-        for j, t in enumerate(t_ids):
-            oof_t = res.oof_seeds[j]
-            scores[t] = metrics.regression_report(y, oof_t)["r2"]
-            oofs[t] = oof_t
+        for c0 in range(0, len(t_ids), per_launch):
+            chunk = t_ids[c0:c0 + per_launch]
+            hp = {k: np.asarray([params[t].get(k, 0.0) for t in chunk],
+                                np.float32)
+                  for k in TRACED_KEYS
+                  if any(k in params[t] for t in chunk)}
+            lr0 = float(hp.get("learning_rate", [3e-4])[0])
             if verbose:
-                print(f"[nn-search] trial {t}: r2={scores[t]:.4f} "
-                      f"{params[t]}", flush=True)
+                print(f"[nn-search] group {static_kw} x {len(chunk)} trials "
+                      f"({n_folds} folds, {epochs} epochs, one jit)",
+                      flush=True)
+            res = train_cv(model, tuple(inputs), y, n_folds=n_folds,
+                           epochs=epochs, batch_size=batch_size, lr=lr0,
+                           seed=seed, split_seed=seed, n_seeds=len(chunk),
+                           snapshot_from=snapshot_from,
+                           fold_affine=fold_affine, warm_start=warm_start,
+                           replica_hparams=hp)
+            for j, t in enumerate(chunk):
+                oof_t = res.oof_seeds[j]
+                scores[t] = metrics.regression_report(y, oof_t)["r2"]
+                oofs[t] = oof_t
+                if verbose:
+                    print(f"[nn-search] trial {t}: r2={scores[t]:.4f} "
+                          f"{params[t]}", flush=True)
 
     best = int(np.argmax(scores))
     trials = [{**p, "oof_r2": float(s)} for p, s in zip(params, scores)]

@@ -51,6 +51,7 @@ def search_nn_cv(model_ctor: Callable[..., object],
                  fold_affine=None,
                  warm_start=None,
                  max_replicas: int = 16,
+                 extra_trials: Optional[List[Dict]] = None,
                  verbose: bool = False) -> NNSearchResult:
     """Randomized search over ``space`` for a train_cv-trained model.
 
@@ -67,7 +68,9 @@ def search_nn_cv(model_ctor: Callable[..., object],
     ``max_replicas // n_folds`` per launch; chunks reuse the group's compile.
     """
     rng = np.random.default_rng(seed)
-    params = [_sample_params(space, rng) for _ in range(n_iter)]
+    params = list(extra_trials or []) + [
+        _sample_params(space, rng) for _ in range(n_iter)]
+    n_iter = len(params)
     groups: Dict[Tuple, List[int]] = {}
     for t, p in enumerate(params):
         static = tuple(sorted((k, v) for k, v in p.items()

@@ -72,7 +72,9 @@ log(f"rerun finals: {rerun} (best {res.best_score:.4f} vs default "
     f"{default_r2:.4f})")
 
 if rerun:
-    for protocol in ("honest", "strict"):
+    # honest only: the campaign's strict final already demonstrates the
+    # fixed per-fold affine; the honest number is the north-star metric
+    for protocol in ("honest",):
         d = (data if protocol == "honest" else
              ProcessedData.load("/root/repo/.bench_cache/pp_maccs_raw1.pkl"))
         cfg = RegressionTrainConfig(

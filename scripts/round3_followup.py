@@ -64,12 +64,14 @@ with open(TUNED, "w") as f:
     json.dump(best, f, indent=1)
 log(f"nn search best: {best['nn']}")
 
-# decision: rerun finals iff the searched config beats the DEFAULT config on
-# the same 5-fold protocol (trial 0) by a meaningful margin
+# the honest final reruns unconditionally: it uses the search winner (which
+# is the default config unless a trial beat it on the same split — trial 0
+# IS the default) and, unlike the campaign final, writes the out_dir OOF
+# artifacts for offline re-stacking
 default_r2 = res.trials[0]["oof_r2"]
-rerun = res.best_score >= default_r2 + 0.005
-log(f"rerun finals: {rerun} (best {res.best_score:.4f} vs default "
-    f"{default_r2:.4f})")
+log(f"nn best {res.best_score:.4f} vs default {default_r2:.4f} "
+    f"on the shared 5-fold split")
+rerun = True
 
 if rerun:
     # honest only: the campaign's strict final already demonstrates the

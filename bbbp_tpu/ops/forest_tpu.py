@@ -427,14 +427,22 @@ class _TPUBase:
                 edge_vals[f, len(e):] = np.inf
         return jnp.asarray(xb), jnp.asarray(edge_vals)
 
-    def _fit(self, x, y, task: str, rf: bool, base_score: float):
+    def _fit(self, x, y, task: str, rf: bool, base_score: float,
+             sample_weight=None):
+        # sample_weight (sklearn-style) maps to the engine's row_w: weight-0
+        # rows contribute nothing to any histogram/leaf, so holdout
+        # evaluations can reuse the full-matrix compiled program instead of
+        # paying a new static row shape per subset (remote compiles are the
+        # scarce resource on the tunnel).
         xb, edge_vals = self._prepare(x)
+        row_w = (None if sample_weight is None
+                 else jnp.asarray(sample_weight, jnp.float32))
         feats, thrs, leaves = fit_forest_launched(
             xb, edge_vals, np.asarray(y, np.float32),
             jnp.float32(self.learning_rate), jnp.float32(self.reg_lambda),
             jnp.float32(self.min_child_weight), jnp.float32(self.subsample),
             jnp.float32(self.colsample), jnp.float32(base_score),
-            jax.random.PRNGKey(self.seed), task=task,
+            jax.random.PRNGKey(self.seed), row_w=row_w, task=task,
             n_trees=self.n_estimators, depth=self.max_depth,
             oblivious=self.oblivious, rf=rf)
         scale = (1.0 / self.n_estimators) if rf else self.learning_rate
@@ -453,20 +461,30 @@ class _TPUBase:
         return self
 
 
+def _wmean(y, w):
+    y = np.asarray(y, np.float64)
+    if w is None:
+        return float(y.mean())
+    w = np.asarray(w, np.float64)
+    return float((y * w).sum() / max(w.sum(), 1e-12))
+
+
 class TPUGBDTRegressor(_TPUBase):
-    def fit(self, x, y):
+    def fit(self, x, y, sample_weight=None):
         return self._fit(x, y, "reg", rf=False,
-                         base_score=float(np.mean(y)))
+                         base_score=_wmean(y, sample_weight),
+                         sample_weight=sample_weight)
 
     def predict(self, x) -> np.ndarray:
         return np.asarray(self.ensemble_.raw_predict(jnp.asarray(x, jnp.float32)))
 
 
 class TPUGBDTClassifier(_TPUBase):
-    def fit(self, x, y):
-        p0 = float(np.clip(np.mean(y), 1e-6, 1 - 1e-6))
+    def fit(self, x, y, sample_weight=None):
+        p0 = float(np.clip(_wmean(y, sample_weight), 1e-6, 1 - 1e-6))
         return self._fit(x, y, "cls", rf=False,
-                         base_score=float(np.log(p0 / (1 - p0))))
+                         base_score=float(np.log(p0 / (1 - p0))),
+                         sample_weight=sample_weight)
 
     def decision_function(self, x) -> np.ndarray:
         return np.asarray(self.ensemble_.raw_predict(jnp.asarray(x, jnp.float32)))
@@ -487,8 +505,9 @@ class TPURandomForestRegressor(_TPUBase):
                          colsample=colsample,
                          min_child_weight=min_child_weight, **kw)
 
-    def fit(self, x, y):
-        return self._fit(x, y, "reg", rf=True, base_score=0.0)
+    def fit(self, x, y, sample_weight=None):
+        return self._fit(x, y, "reg", rf=True, base_score=0.0,
+                         sample_weight=sample_weight)
 
     def predict(self, x) -> np.ndarray:
         return np.asarray(self.ensemble_.raw_predict(jnp.asarray(x, jnp.float32)))

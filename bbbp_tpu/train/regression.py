@@ -114,6 +114,17 @@ class RegressionTrainConfig:
                                   # chemistry-native neighbor metric; one
                                   # bit-matmul on the MXU per fold)
     tknn_k: int = 10
+    tkrr_leg: bool = True         # + Tanimoto kernel-ridge leg (full-gram
+                                  # KRR, ops.similarity.TanimotoKernelRidge)
+    tkrr_lam: float = 0.1
+    # cross-task transfer: P(BBB+) columns from models trained on the
+    # leak-screened classification set (train.transfer). Fold-independent
+    # pure functions of structure -> appended to the tree/shallow-leg
+    # features under every protocol, plus their own calibration stack leg.
+    transfer_leg: bool = False
+    transfer_models: tuple = ("gbdt", "oblivious", "tknn")
+    transfer_to_nn: bool = False  # also append to the NN fp branch (changes
+                                  # fp_dim -> new XLA program; default off)
     out_dir: Optional[str] = None  # write plots/CSVs/model artifacts here
     image_size: int = 128
     compat_batch: Optional[int] = None   # set automatically for protocol=compat
@@ -246,6 +257,15 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     y = data.y
     folds = kfold_indices(n, cfg.n_folds, cfg.seed)
 
+    # ---------------- cross-task transfer features (train.transfer) --------
+    transfer = None
+    if cfg.transfer_leg:
+        from bbbp_tpu.train.transfer import TransferConfig, transfer_features
+
+        transfer = transfer_features(
+            data.smiles, TransferConfig(models=tuple(cfg.transfer_models)),
+            workers=cfg.workers, verbose=verbose)
+
     # ---------------- NN leg (Transformer+CNN, batched folds) --------------
     fold_affine = None
     if strict:
@@ -254,12 +274,20 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         nn_fp = (np.concatenate([data.fp_raw, data.desc_raw], axis=1)
                  if data.desc_raw is not None else data.fp_raw)
         img = data.img_raw.reshape(n, cfg.image_size, cfg.image_size, 3)
+        if transfer is not None and cfg.transfer_to_nn:
+            nn_fp = np.concatenate([nn_fp, transfer.features], axis=1)
         fold_affine = _fold_affine_from([nn_fp, img], folds, cfg.n_folds)
     else:
         nn_fp = (np.concatenate([data.fp_pca, data.img_pca], axis=1
                                 ).astype(np.float32)
                  if cfg.nn_input == "pca" else data.nn_fp_features())
         img = data.img_norm.reshape(n, cfg.image_size, cfg.image_size, 3)
+        if transfer is not None and cfg.transfer_to_nn:
+            # probabilities standardized to match the normalized fp block
+            t = transfer.features
+            nn_fp = np.concatenate(
+                [nn_fp, (t - t.mean(0)) / np.maximum(t.std(0), 1e-6)],
+                axis=1).astype(np.float32)
     model = MultiModalRegressor(
         fp_dim=nn_fp.shape[1], n_layers=cfg.n_layers,
         fusion=cfg.fusion, fp_tokens=cfg.fp_tokens)
@@ -294,13 +322,18 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         leg_names += ["knn", "ridge"]
     if cfg.tanimoto_leg:
         leg_names.append("tknn")
+    if cfg.tkrr_leg:
+        leg_names.append("tkrr")
+    if transfer is not None:
+        leg_names.append("transfer")
     oof = {m: np.zeros(n, np.float32) for m in leg_names}
     oof["nn"] = nn_res.oof_pred
 
     fp_bits = None
-    if cfg.tanimoto_leg:
+    if cfg.tanimoto_leg or cfg.tkrr_leg:
         from bbbp_tpu.chem.featurize import fingerprints as _fps
-        from bbbp_tpu.ops.similarity import TanimotoKNNRegressor
+        from bbbp_tpu.ops.similarity import (TanimotoKernelRidge,
+                                             TanimotoKNNRegressor)
 
         # raw binary bits recomputed from SMILES (the normalized matrices in
         # ProcessedData are real-valued); one bit-matmul per fold on device
@@ -382,8 +415,15 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         xt_folds = _tree_features_strict(
             data, folds, data.config.pca_dim, data.config.aux_pca_dim,
             raw_fp=cfg.tree_raw_fp)
+        if transfer is not None:
+            # fold-independent structure-only columns (module doc,
+            # train.transfer) — appended to every fold's matrix
+            xt_folds = [np.concatenate([x, transfer.features], axis=1)
+                        for x in xt_folds]
     else:
         xt_global = _tree_features_global(data, raw_fp=cfg.tree_raw_fp)
+        if transfer is not None:
+            xt_global = np.concatenate([xt_global, transfer.features], axis=1)
     for i, te in enumerate(folds):
         tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
         xt = xt_folds[i] if strict else xt_global
@@ -421,6 +461,14 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         if cfg.tanimoto_leg:
             oof["tknn"][te] = TanimotoKNNRegressor(cfg.tknn_k).fit(
                 fp_bits[tr], y[tr]).predict(fp_bits[te])
+        if cfg.tkrr_leg:
+            oof["tkrr"][te] = TanimotoKernelRidge(cfg.tkrr_lam).fit(
+                fp_bits[tr], y[tr]).predict(fp_bits[te])
+        if transfer is not None:
+            # calibration leg: linear map transfer-probas -> logBB, fit on
+            # this fold's train rows (gives the meta a dedicated column)
+            oof["transfer"][te] = LinearRegression().fit(
+                transfer.features[tr], y[tr]).predict(transfer.features[te])
 
     # ---------------- stacking ---------------------------------------------
     stack_x = np.stack([oof[k] for k in leg_names], axis=1)
@@ -447,9 +495,19 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         report[f"meta_{mname}"] = metrics.regression_report(y, m_in)
         m_cv = _crossfit_stack(stack_x, y, folds, ctor)
         report[f"meta_{mname}_crossfit"] = metrics.regression_report(y, m_cv)
+    if transfer is not None:
+        report["transfer_quality"] = {
+            **{f"auc_{k}": v for k, v in transfer.holdout_auc.items()},
+            "n_aux": float(transfer.n_aux),
+            "n_excluded": float(transfer.n_excluded)}
     if verbose:
         for k, r in report.items():
-            print(f"[regression] {k:17s} R2={r['r2']:.4f} MSE={r['mse']:.4f}")
+            if "r2" in r:
+                print(f"[regression] {k:17s} R2={r['r2']:.4f} "
+                      f"MSE={r['mse']:.4f}")
+        if transfer is not None:
+            print(f"[regression] transfer aux: {transfer.n_aux} molecules, "
+                  f"holdout AUC {transfer.holdout_auc}")
     if cfg.out_dir:
         _write_artifacts(cfg, data, nn_res, oof, stacked, y, report)
     return RegressionRunResult(oof, stacked, y, report, time.time() - t0)

@@ -118,3 +118,30 @@ class TestScreeningEndToEnd:
         assert len(rows) == 52
         bad_rows = [r for r in rows if r[2] == "invalid"]
         assert len(bad_rows) == 1 and bad_rows[0][0] == "BADID"
+
+
+class TestSampleWeight:
+    def test_zero_weight_rows_are_ignored(self):
+        """fit(sample_weight=mask) on the full matrix must equal fit() on the
+        subset — the mechanism that lets holdout fits reuse the full-shape
+        compiled program (train.transfer)."""
+        from bbbp_tpu.ops.forest_tpu import TPUGBDTRegressor
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(120, 6)).astype(np.float32)
+        y = (x[:, 0] - 2 * x[:, 1]).astype(np.float32)
+        w = np.ones(120, np.float32)
+        w[80:] = 0.0
+        kw = dict(n_estimators=30, max_depth=3, learning_rate=0.3, seed=5,
+                  subsample=1.0)
+        m_w = TPUGBDTRegressor(**kw).fit(x, y, sample_weight=w)
+        q = rng.normal(size=(20, 6)).astype(np.float32)
+        p_w = m_w.predict(q)
+        # weighted-out rows with wild labels must not change predictions
+        y2 = y.copy()
+        y2[80:] = 100.0
+        p_w2 = TPUGBDTRegressor(**kw).fit(x, y2, sample_weight=w).predict(q)
+        np.testing.assert_allclose(p_w, p_w2, rtol=1e-5, atol=1e-5)
+        # and a no-weight fit DOES see them
+        p_all = TPUGBDTRegressor(**kw).fit(x, y2).predict(q)
+        assert np.abs(p_all - p_w).max() > 1.0

@@ -1,0 +1,96 @@
+"""Cross-task transfer features (train.transfer) + Tanimoto kernel ridge."""
+
+import numpy as np
+
+from bbbp_tpu.train.transfer import (TransferConfig, _auc,
+                                     transfer_features)
+
+
+def _aux(n_rep=4):
+    # polar (BBB-, label by construction here 1) vs apolar molecules
+    s = ["CCO", "CCN", "CCC", "CCCC", "CCOC", "CC(=O)O", "c1ccccc1",
+         "c1ccccc1C", "CCCCO", "NCCN", "OCCO", "CCCCC", "c1ccncc1",
+         "CC(C)C", "CCS", "CCCl"] * n_rep
+    y = np.array([1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0, 1, 0, 0, 0] * n_rep,
+                 np.float32)
+    return s, y
+
+
+class TestTransferFeatures:
+    def test_auc_rank_statistic(self):
+        y = np.array([0, 0, 1, 1])
+        s = np.array([0.1, 0.4, 0.35, 0.8])
+        assert abs(_auc(y, s) - 0.75) < 1e-9
+        # ties averaged
+        assert abs(_auc(np.array([0, 1]), np.array([0.5, 0.5])) - 0.5) < 1e-9
+
+    def test_features_learn_polarity_and_shapes(self):
+        s, y = _aux()
+        cfg = TransferConfig(models=("gbdt", "tknn"), trees=24, depth=3,
+                             morgan_pca_dim=8, holdout_frac=0.2, tknn_k=5)
+        res = transfer_features(["CCO", "NCCO", "CCCC", "CCCCCC"], cfg,
+                                aux_data=(s, y), verbose=False)
+        assert res.features.shape == (4, 2)
+        assert res.names == ["transfer_gbdt", "transfer_tknn"]
+        assert set(res.holdout_auc) == {"gbdt", "tknn"}
+        # polar queries score higher P(label=1) than apolar ones
+        assert res.features[:2].mean() > res.features[2:].mean()
+        assert np.all(res.features >= 0) and np.all(res.features <= 1)
+
+    def test_cache_roundtrip(self, tmp_path):
+        s, y = _aux(2)
+        cfg = TransferConfig(models=("tknn",), morgan_pca_dim=4,
+                             holdout_frac=0.0, tknn_k=3,
+                             cache_dir=str(tmp_path))
+        q = ["CCO", "CCCC"]
+        r1 = transfer_features(q, cfg, aux_data=(s, y), verbose=False)
+        # poison the aux labels: a cache hit must ignore them
+        r2 = transfer_features(q, cfg, aux_data=(s, 1 - y), verbose=False)
+        np.testing.assert_array_equal(r1.features, r2.features)
+
+    def test_aux_exclusion_drops_regression_rows(self):
+        from bbbp_tpu.data.b3db import (load_b3db_classification,
+                                        load_b3db_regression)
+        from bbbp_tpu.train.transfer import aux_classification_set
+
+        smiles, labels, n_excl = aux_classification_set()
+        n_cls = len(load_b3db_classification().smiles)
+        n_reg = len(load_b3db_regression().smiles)
+        # every regression molecule that appears in the classification set
+        # must be gone; B3DB derives ~one classification row per regression
+        # row, so the exclusion count is at least ~95% of the regression set
+        assert n_excl >= int(0.95 * n_reg)
+        assert len(smiles) == n_cls - n_excl
+        assert len(labels) == len(smiles)
+
+
+class TestTanimotoKernelRidge:
+    def test_interpolates_cluster_targets(self):
+        from bbbp_tpu.ops.similarity import TanimotoKernelRidge
+
+        rng = np.random.default_rng(1)
+        a = (rng.random((40, 32)) < 0.5).astype(np.float32)
+        a[:, :16] = 0.0
+        b = (rng.random((40, 32)) < 0.5).astype(np.float32)
+        b[:, 16:] = 0.0
+        x = np.concatenate([a, b])
+        y = np.concatenate([np.full(40, 1.0), np.full(40, -1.0)]).astype(
+            np.float32)
+        m = TanimotoKernelRidge(0.05).fit(x, y)
+        pred = m.predict(np.concatenate([a[:5], b[:5]]))
+        assert np.all(pred[:5] > 0.5) and np.all(pred[5:] < -0.5)
+
+    def test_matches_numpy_closed_form(self):
+        from bbbp_tpu.ops.similarity import TanimotoKernelRidge
+
+        rng = np.random.default_rng(2)
+        x = (rng.random((30, 24)) < 0.4).astype(np.float32)
+        y = rng.standard_normal(30).astype(np.float32)
+        lam = 0.3
+        inter = x @ x.T
+        union = x.sum(1)[:, None] + x.sum(1)[None] - inter
+        K = inter / np.maximum(union, 1e-9)
+        alpha = np.linalg.solve(K + lam * np.eye(30), y - y.mean())
+        ref = K @ alpha + y.mean()
+        got = TanimotoKernelRidge(lam).fit(x, y).predict(x)
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

@@ -73,6 +73,11 @@ class RegressionTrainConfig:
     graph_layers: int = 5
     graph_lr: float = 7e-4
     max_atoms: int = 128
+    # supervised aux-classification pretraining (train.aux_pretrain): paths
+    # to pretrained-trunk pickles; folds warm-start from the trunk with the
+    # output head dropped (same mechanism as the MLM-pretrained SMILES leg)
+    graph_pretrained: Optional[str] = None
+    nn_pretrained: Optional[str] = None
     # SMILES-encoder leg (MLM-pretrained transformer, models.bert)
     bert_leg: bool = False
     bert_pretrained_dir: Optional[str] = None
@@ -108,6 +113,15 @@ class RegressionTrainConfig:
                                  # scatter-budget fix; ablations still favor
                                  # compressed for wide fps, so default off)
     meta: str = "linear"          # linear | ridge | ridgecv | nnls
+    split_repeats: int = 1        # repeated-CV averaging for the tree/kernel/
+                                  # shallow legs: extra kfold splits (new
+                                  # seeds) whose OOF predictions average into
+                                  # the leg columns. Every repeat's prediction
+                                  # for row i comes from a model that never
+                                  # saw row i, so the average stays honest;
+                                  # it removes fold-assignment variance.
+                                  # honest/compat only (strict per-fold
+                                  # features are built for the primary split)
     extra_legs: bool = True       # + kNN and ridge OOF legs (B9-style pool)
     tanimoto_leg: bool = True     # + Tanimoto-kNN similarity leg on the raw
                                   # fingerprint bits (ops.similarity — the
@@ -117,6 +131,13 @@ class RegressionTrainConfig:
     tkrr_leg: bool = True         # + Tanimoto kernel-ridge leg (full-gram
                                   # KRR, ops.similarity.TanimotoKernelRidge)
     tkrr_lam: float = 0.1
+    # combined chemistry-kernel ridge leg (ops.similarity.ChemKernelRidge):
+    # Tanimoto(MACCS) + Tanimoto(Morgan bits) + minmax(Morgan counts) +
+    # RBF(descriptors); weights/lam from the CPU tuning study
+    # (scripts/estimate_transfer_gain3.py -> .bench_cache/ckrr_tuning.json)
+    ckrr_leg: bool = True
+    ckrr_lam: float = 0.06            # CPU tuning: OOF R2=0.638 at equal
+    ckrr_weights: tuple = (0.25, 0.25, 0.25, 0.25)  # weights, flat landscape
     # cross-task transfer: P(BBB+) columns from models trained on the
     # leak-screened classification set (train.transfer). Fold-independent
     # pure functions of structure -> appended to the tree/shallow-leg
@@ -298,6 +319,14 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     # seed replicas run sequentially (fold axis alone already fills the chip;
     # the jit is compile-cached across replicas) and OOF-average — identical
     # folds via split_seed
+    nn_warm = None
+    if cfg.nn_pretrained:
+        from bbbp_tpu.train.aux_pretrain import load_warm_start
+
+        nn_warm, nn_auc = load_warm_start(cfg.nn_pretrained)
+        if verbose:
+            print(f"[regression] NN warm start from {cfg.nn_pretrained} "
+                  f"(aux AUC {nn_auc:.4f})")
     nn_res = None
     oof_acc = None
     for r in range(max(1, cfg.nn_seeds)):
@@ -307,6 +336,7 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             split_seed=cfg.seed,
             snapshot_from=None if cfg.patience else cfg.snapshot_from,
             patience=cfg.patience, fold_affine=fold_affine,
+            warm_start=nn_warm,
             log_every=(10 if verbose and r == 0 else 0))
         oof_acc = res_r.oof_pred if oof_acc is None else oof_acc + res_r.oof_pred
         nn_res = res_r
@@ -324,6 +354,8 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         leg_names.append("tknn")
     if cfg.tkrr_leg:
         leg_names.append("tkrr")
+    if cfg.ckrr_leg:
+        leg_names.append("ckrr")
     if transfer is not None:
         leg_names.append("transfer")
     oof = {m: np.zeros(n, np.float32) for m in leg_names}
@@ -339,6 +371,14 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         # ProcessedData are real-valued); one bit-matmul per fold on device
         fp_bits = (_fps(data.smiles, kind=cfg.fp_kind).features > 0
                    ).astype(np.float32)
+    if cfg.ckrr_leg:
+        from bbbp_tpu.ops.similarity import ChemKernelRidge
+        from bbbp_tpu.train.transfer import raw_transfer_features
+
+        # the chemistry-native feature trio for the combined kernel,
+        # independent of cfg.fp_kind (disk-cached by content hash)
+        ck_desc, ck_maccs, ck_counts = raw_transfer_features(
+            data.smiles, workers=cfg.workers)
 
     # ---------------- SMILES-encoder leg (pretrained transformer) ----------
     if cfg.bert_leg:
@@ -396,6 +436,14 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             data.smiles, max_atoms=cfg.max_atoms, edge_types=True)
         gmodel = MPNNRegressor(hidden=cfg.graph_hidden,
                                n_layers=cfg.graph_layers)
+        g_warm = None
+        if cfg.graph_pretrained:
+            from bbbp_tpu.train.aux_pretrain import load_warm_start
+
+            g_warm, g_auc = load_warm_start(cfg.graph_pretrained)
+            if verbose:
+                print(f"[regression] MPNN warm start from "
+                      f"{cfg.graph_pretrained} (aux AUC {g_auc:.4f})")
         g_acc = None
         for r in range(max(1, cfg.graph_seeds)):
             g_res = train_cv(
@@ -405,7 +453,7 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                 seed=cfg.seed + 2000 + 1000 * r, split_seed=cfg.seed,
                 snapshot_from=None if cfg.patience else max(
                     1, cfg.graph_epochs - 15),
-                patience=cfg.patience,
+                patience=cfg.patience, warm_start=g_warm,
                 log_every=(20 if verbose and r == 0 else 0))
             g_acc = g_res.oof_pred if g_acc is None else g_acc + g_res.oof_pred
         oof["graph"] = g_acc / max(1, cfg.graph_seeds)
@@ -424,19 +472,30 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         xt_global = _tree_features_global(data, raw_fp=cfg.tree_raw_fp)
         if transfer is not None:
             xt_global = np.concatenate([xt_global, transfer.features], axis=1)
-    for i, te in enumerate(folds):
-        tr = np.concatenate([folds[j] for j in range(len(folds)) if j != i])
+    # repeated-CV averaging (config doc): repeat the whole fold loop on extra
+    # splits and average the leg columns — honest/compat only
+    n_rep = 1 if strict else max(1, cfg.split_repeats)
+    rep_legs = [m for m in leg_names if m not in ("nn", "graph", "smiles")]
+    rep_acc = {m: np.zeros(n, np.float32) for m in rep_legs}
+    for rep in range(n_rep):
+      folds_r = (folds if rep == 0
+                 else kfold_indices(n, cfg.n_folds, cfg.seed + 7700 * rep))
+      oof_r = {m: np.zeros(n, np.float32) for m in rep_legs}
+      for i, te in enumerate(folds_r):
+        tr = np.concatenate([folds_r[j] for j in range(len(folds_r))
+                             if j != i])
         xt = xt_folds[i] if strict else xt_global
         if verbose:
-            print(f"[regression] fold {i+1}/{len(folds)} tree legs...")
+            print(f"[regression] fold {i+1}/{len(folds_r)} tree legs"
+                  f"{f' (repeat {rep+1}/{n_rep})' if n_rep > 1 else ''}...")
         for s in range(max(1, cfg.tree_seeds)):
-            sd = cfg.seed + i + 101 * s
+            sd = cfg.seed + i + 101 * s + 31 * rep
             rf = RandomForestRegressor(n_estimators=cfg.rf_trees,
                                        max_depth=cfg.rf_depth,
                                        colsample=cfg.rf_colsample,
                                        reg_lambda=cfg.rf_lambda,
                                        seed=sd).fit(xt[tr], y[tr])
-            oof["rf"][te] += rf.predict(xt[te])
+            oof_r["rf"][te] += rf.predict(xt[te])
             gb = GBDTRegressor(n_estimators=cfg.gbdt_trees,
                                learning_rate=cfg.gbdt_lr,
                                max_depth=cfg.gbdt_depth,
@@ -444,7 +503,7 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                                colsample=cfg.gbdt_colsample,
                                reg_lambda=cfg.gbdt_lambda,
                                seed=sd).fit(xt[tr], y[tr])
-            oof["gbdt"][te] += gb.predict(xt[te])
+            oof_r["gbdt"][te] += gb.predict(xt[te])
             cat = GBDTRegressor(n_estimators=cfg.cat_trees,
                                 learning_rate=cfg.cat_lr,
                                 max_depth=cfg.cat_depth, oblivious=True,
@@ -452,23 +511,34 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                                 colsample=cfg.cat_colsample,
                                 reg_lambda=cfg.cat_lambda,
                                 seed=sd).fit(xt[tr], y[tr])
-            oof["cat"][te] += cat.predict(xt[te])
+            oof_r["cat"][te] += cat.predict(xt[te])
         for m in ("rf", "gbdt", "cat"):
             oof[m][te] /= max(1, cfg.tree_seeds)
         if cfg.extra_legs:
-            oof["knn"][te] = KNeighborsRegressor(10).fit(xt[tr], y[tr]).predict(xt[te])
-            oof["ridge"][te] = Ridge(10.0).fit(xt[tr], y[tr]).predict(xt[te])
+            oof_r["knn"][te] = KNeighborsRegressor(10).fit(xt[tr], y[tr]).predict(xt[te])
+            oof_r["ridge"][te] = Ridge(10.0).fit(xt[tr], y[tr]).predict(xt[te])
         if cfg.tanimoto_leg:
-            oof["tknn"][te] = TanimotoKNNRegressor(cfg.tknn_k).fit(
+            oof_r["tknn"][te] = TanimotoKNNRegressor(cfg.tknn_k).fit(
                 fp_bits[tr], y[tr]).predict(fp_bits[te])
         if cfg.tkrr_leg:
-            oof["tkrr"][te] = TanimotoKernelRidge(cfg.tkrr_lam).fit(
+            oof_r["tkrr"][te] = TanimotoKernelRidge(cfg.tkrr_lam).fit(
                 fp_bits[tr], y[tr]).predict(fp_bits[te])
+        if cfg.ckrr_leg:
+            m = ChemKernelRidge(cfg.ckrr_lam,
+                                weights=tuple(cfg.ckrr_weights)).fit(
+                ck_maccs[tr], ck_counts[tr], ck_desc[tr], y[tr])
+            oof_r["ckrr"][te] = m.predict(ck_maccs[te], ck_counts[te],
+                                        ck_desc[te])
         if transfer is not None:
             # calibration leg: linear map transfer-probas -> logBB, fit on
             # this fold's train rows (gives the meta a dedicated column)
-            oof["transfer"][te] = LinearRegression().fit(
+            oof_r["transfer"][te] = LinearRegression().fit(
                 transfer.features[tr], y[tr]).predict(transfer.features[te])
+
+      for m in rep_legs:
+          rep_acc[m] += oof_r[m] / n_rep
+    for m in rep_legs:
+        oof[m] = rep_acc[m]
 
     # ---------------- stacking ---------------------------------------------
     stack_x = np.stack([oof[k] for k in leg_names], axis=1)

@@ -227,8 +227,8 @@ def transfer_features(reg_smiles: Sequence[str],
     cpath = None
     if cache_dir:
         key = hashlib.sha1(
-            (repr(sorted(cfg.__dict__.items())) + repr(len(reg_smiles))
-             + repr(hash(tuple(reg_smiles)))).encode()).hexdigest()[:16]
+            (repr(sorted(cfg.__dict__.items())) + "\n".join(reg_smiles)
+             ).encode()).hexdigest()[:16]
         cpath = os.path.join(cache_dir, f"transfer_{key}.npz")
         if os.path.exists(cpath):
             z = np.load(cpath, allow_pickle=True)

@@ -94,3 +94,85 @@ class TestTanimotoKernelRidge:
         ref = K @ alpha + y.mean()
         got = TanimotoKernelRidge(lam).fit(x, y).predict(x)
         np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+class TestChemKernelRidge:
+    def test_minmax_matches_numpy(self):
+        from bbbp_tpu.ops.similarity import minmax_matrix
+
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 6, (20, 40)).astype(np.float32)
+        b = rng.integers(0, 6, (15, 40)).astype(np.float32)
+        got = np.asarray(minmax_matrix(a, b, 16))
+        for i in (0, 7, 19):
+            for j in (0, 5, 14):
+                ref = (np.minimum(a[i], b[j]).sum()
+                       / np.maximum(a[i], b[j]).sum())
+                assert abs(got[i, j] - ref) < 1e-5
+
+    def test_minmax_clips_consistently(self):
+        from bbbp_tpu.ops.similarity import minmax_matrix
+
+        a = np.array([[40.0, 1.0]])
+        b = np.array([[40.0, 1.0]])
+        # identical rows => similarity 1 even with counts above the clip
+        assert abs(float(minmax_matrix(a, b, 8)[0, 0]) - 1.0) < 1e-6
+
+    def test_combined_kernel_ridge_predicts(self):
+        from bbbp_tpu.ops.similarity import ChemKernelRidge
+
+        rng = np.random.default_rng(1)
+        maccs = (rng.random((80, 50)) < 0.3).astype(np.float32)
+        counts = rng.integers(0, 5, (80, 64)).astype(np.float32)
+        desc = rng.normal(size=(80, 10)).astype(np.float32)
+        y = (desc[:, 0] + counts[:, :3].sum(1) * 0.1).astype(np.float32)
+        m = ChemKernelRidge(0.06).fit(maccs[:60], counts[:60], desc[:60],
+                                      y[:60])
+        pred = m.predict(maccs[60:], counts[60:], desc[60:])
+        assert np.corrcoef(pred, y[60:])[0, 1] > 0.7
+
+
+class TestAuxPretrain:
+    def test_drop_output_dense(self):
+        from bbbp_tpu.train.aux_pretrain import drop_output_dense
+
+        p = {"Dense_0": 1, "Dense_2": 2, "Dense_10": 3, "LayerNorm_0": 4,
+             "enc0": {"Dense_5": 5}}
+        out = drop_output_dense(p)
+        assert "Dense_10" not in out and "Dense_2" in out
+        assert out["enc0"] == {"Dense_5": 5}      # only top level considered
+
+    def test_mpnn_pretrain_and_warm_start(self, tmp_path, monkeypatch):
+        import bbbp_tpu.train.aux_pretrain as ap
+        from bbbp_tpu.train.aux_pretrain import (AuxPretrainConfig,
+                                                 load_warm_start,
+                                                 pretrain_aux)
+
+        aux_s = ["CCO", "CCN", "CCC", "CCCC", "CCOC", "CC(=O)O", "c1ccccc1",
+                 "c1ccccc1C", "CCCCO", "NCCN", "OCCO", "CCCCC"] * 6
+        aux_y = np.array([1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 1, 0] * 6, np.float32)
+        monkeypatch.setattr(ap, "aux_classification_set",
+                            lambda verbose=False: (aux_s, aux_y, 0))
+        cfg = AuxPretrainConfig(kind="graph", epochs=3, batch_size=16,
+                                max_atoms=16, graph_hidden=8, graph_layers=2,
+                                cache_dir=str(tmp_path))
+        path = pretrain_aux(cfg, verbose=False)
+        params, auc = load_warm_start(path)
+        assert 0.0 <= auc <= 1.0
+        # output head dropped; trunk layers present
+        import re
+        dense = sorted(int(re.match(r"Dense_(\d+)", k).group(1))
+                       for k in params if k.startswith("Dense_"))
+        assert dense, "trunk Dense layers expected"
+        # warm-starting the regression fold trainer must accept the pytree
+        from bbbp_tpu.chem.graph_features import graph_features
+        from bbbp_tpu.models.gnn import MPNNRegressor
+        from bbbp_tpu.train.loop import train_cv
+
+        feats, _, adj_t, mask, _ = graph_features(aux_s[:24], max_atoms=16,
+                                                  edge_types=True)
+        yv = np.linspace(-1, 1, 24).astype(np.float32)
+        res = train_cv(MPNNRegressor(hidden=8, n_layers=2),
+                       (feats, adj_t, mask), yv, n_folds=2, epochs=1,
+                       batch_size=8, warm_start=params)
+        assert res.oof_pred.shape == (24,)

@@ -116,10 +116,14 @@ def _fit_binary(model, inputs, y, cfg: AuxPretrainConfig, verbose: bool):
 
     params, opt_state = init_fn(root)
 
+    # the full dataset rides as jit ARGUMENTS (device-resident, gathered by
+    # idx inside the program) — closing over it would embed hundreds of MB
+    # of constants into the serialized computation and blow the tunnel's
+    # remote-compile request limit (observed HTTP 413 at 6.4k graphs)
     @jax.jit
-    def train_step(params, opt_state, idx, key):
-        xb = tuple(a[idx] for a in inputs_d)
-        yb = y_d[idx]
+    def train_step(params, opt_state, data, y_all, idx, key):
+        xb = tuple(a[idx] for a in data)
+        yb = y_all[idx]
 
         def loss_fn(p):
             logits = model.apply({"params": p}, *xb, train=True,
@@ -131,8 +135,8 @@ def _fit_binary(model, inputs, y, cfg: AuxPretrainConfig, verbose: bool):
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def predict(params, idx):
-        xb = tuple(a[idx] for a in inputs_d)
+    def predict(params, data, idx):
+        xb = tuple(a[idx] for a in data)
         return model.apply({"params": params}, *xb, train=False)
 
     key = root
@@ -144,13 +148,13 @@ def _fit_binary(model, inputs, y, cfg: AuxPretrainConfig, verbose: bool):
         for s in range(steps):
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(order[s]), sub)
+                params, opt_state, inputs_d, y_d, jnp.asarray(order[s]), sub)
         if verbose and ((epoch + 1) % 5 == 0 or epoch == cfg.epochs - 1):
             print(f"[aux-pretrain] epoch {epoch+1}/{cfg.epochs} "
                   f"bce={float(loss):.4f} ({time.time()-t_ep:.1f}s)",
                   flush=True)
     # pad the val set to the train batch granularity-free full predict
-    logits_val = np.asarray(predict(params, jnp.asarray(val_idx)))
+    logits_val = np.asarray(predict(params, inputs_d, jnp.asarray(val_idx)))
     auc = _auc(np.asarray(y)[val_idx], logits_val)
     if verbose:
         print(f"[aux-pretrain] holdout AUC={auc:.4f} ({n_val} molecules)")

@@ -91,5 +91,5 @@ results.sort(reverse=True)
 best = results[0]
 log(f"BEST: R2={best[0]:.4f} w={best[1]} lam={best[2]}")
 with open("/root/repo/.bench_cache/ckrr_tuning.json", "w") as f:
-    json.dump({"r2": best[0], "weights": best[1], "lam": best[2],
-               "names": names}, f, indent=1)
+    json.dump({"r2": float(best[0]), "weights": [float(v) for v in best[1]],
+               "lam": float(best[2]), "names": names}, f, indent=1)

@@ -54,13 +54,18 @@ data = ProcessedData.load("/root/repo/.bench_cache/pp_maccs_raw0.pkl")
 y = data.y
 n = len(y)
 
+# tuned flagship-NN shape/lr (round3_followup search) — the pretrain
+# architecture must match the final's or the warm start won't broadcast
+NN_LAYERS = int(best.get("nn", {}).get("n_layers", 4))
+NN_LR = float(best.get("nn", {}).get("learning_rate", 3e-4))
+
 # ---- stage 1+2: aux pretraining -------------------------------------------
 paths = {}
 for kind, cfg_p in (
     ("graph", AuxPretrainConfig(kind="graph", epochs=30, graph_hidden=192,
                                 graph_layers=5)),
     ("multimodal", AuxPretrainConfig(kind="multimodal", epochs=25,
-                                     nn_layers=4)),
+                                     nn_layers=NN_LAYERS)),
 ):
     try:
         t0 = time.time()
@@ -103,13 +108,13 @@ if "multimodal" in paths:
 
     nn_fp = data.nn_fp_features()
     img = data.img_norm.reshape(n, 128, 128, 3)
-    nmodel = MultiModalRegressor(fp_dim=nn_fp.shape[1], n_layers=4,
+    nmodel = MultiModalRegressor(fp_dim=nn_fp.shape[1], n_layers=NN_LAYERS,
                                  fusion="multihead", fp_tokens=1)
     warm_params, _ = load_warm_start(paths["multimodal"])
     scores = {}
     for name, ws in (("cold", None), ("warm", warm_params)):
         res = train_cv(nmodel, (nn_fp, img), y, n_folds=5,
-                       epochs=40, batch_size=32, lr=3e-4, seed=4242,
+                       epochs=40, batch_size=32, lr=NN_LR, seed=4242,
                        split_seed=4242, snapshot_from=33, warm_start=ws)
         scores[name] = quick_r2(res.oof_pred)
         log(f"nn A/B {name}: 5-fold oof R2={scores[name]:.4f}")
@@ -131,6 +136,9 @@ def final_cfg(protocol):
         split_repeats=2 if protocol == "honest" else 1,
         meta="linear", transfer_leg=True, transfer_models=("tknn",),
         out_dir=f"{OUT}/reg_maccs_{protocol}_r3")
+    if "nn" in best:
+        cfg.lr = NN_LR
+        cfg.n_layers = NN_LAYERS
     if "graph" in best:
         cfg.graph_lr = float(best["graph"]["learning_rate"])
         cfg.graph_hidden = int(best["graph"].get("hidden", 192))

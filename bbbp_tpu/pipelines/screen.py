@@ -112,12 +112,19 @@ def _shard_over_data(fn, mesh):
     embarrassingly molecule-parallel, so no collectives appear)."""
     from jax.sharding import PartitionSpec as P
 
+    # no collectives appear, so the varying-mesh-axes check buys nothing —
+    # and pallas_call cannot declare vma on its outputs, so the check must
+    # be off wherever the kwarg exists (new API: check_vma, old: check_rep)
     try:
         from jax import shard_map
 
-        return jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data"),
-                                 out_specs=P("data")))
-    except (ImportError, TypeError):         # older jax API
+        try:
+            return jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data"),
+                                     out_specs=P("data"), check_vma=False))
+        except TypeError:
+            return jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data"),
+                                     out_specs=P("data")))
+    except ImportError:                      # older jax API
         from jax.experimental.shard_map import shard_map
 
         return jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data"),

@@ -48,7 +48,18 @@ def mesh_device_axis(n_mols):
     """Device-only inference throughput, 1 device vs the full mesh, on
     synthetic packed fingerprints (isolates the shard_map molecule-axis
     scaling from host featurization)."""
+    # the image's sitecustomize pins the axon TPU backend in EVERY python
+    # process — a shell-level JAX_PLATFORMS=cpu is overridden at import, so
+    # force the simulated-CPU mesh the same way tests/conftest.py does
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", "mesh axis must run CPU-sim"
 
     from bbbp_tpu.pipelines.screen import ScreeningModel, _make_packed_device_fn
 
@@ -96,7 +107,10 @@ def main():
         state["device_mesh_note"] = (
             "CPU-sim 8-device mesh; isolates shard_map molecule-axis "
             "scaling. Single-chip axon tunnel cannot host a real multi-chip "
-            "mesh.")
+            "mesh, and with nproc=1 the 8 virtual devices timeshare one "
+            "core — equal 1dev/8dev throughput shows the shard_map wrapper "
+            "adds no overhead; it cannot show parallel speedup on this "
+            "host.")
     else:
         smiles = real_smiles(args.n_mols)
         state["featurizer_thread_axis"] = featurizer_thread_axis(smiles)

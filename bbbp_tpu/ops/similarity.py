@@ -93,6 +93,14 @@ class TanimotoKernelRidge:
         return np.asarray(tanimoto_matrix(q, self._x) @ self._alpha
                           + self._mean)
 
+    @staticmethod
+    def full_gram(x) -> np.ndarray:
+        """Label-independent full N x N Tanimoto gram (one device bit-matmul).
+        Lets a caller run arbitrarily fine CV (50-fold ~ LOO) as cheap host
+        sub-matrix solves instead of N gram recomputations."""
+        b = jnp.asarray((np.asarray(x) > 0), jnp.float32)
+        return np.asarray(tanimoto_matrix(b, b))
+
 
 @functools.partial(jax.jit, static_argnames=("levels",))
 def minmax_matrix(qc: jnp.ndarray, rc: jnp.ndarray,
@@ -200,6 +208,26 @@ class ChemKernelRidge:
         q = self._blocks(maccs, counts, desc)
         return np.asarray(self._kernel(q, self._train) @ self._alpha
                           + self._mean)
+
+    def full_gram(self, maccs, counts, desc) -> np.ndarray:
+        """Label-independent full N x N combined-kernel gram. Descriptor
+        standardization and the RBF bandwidth are fit on ALL rows — valid
+        under the honest protocol (unsupervised transforms are global) and
+        it makes fine-grained CV (kernel_n_folds in train.regression) cost
+        only host sub-matrix solves."""
+        desc = np.asarray(desc, np.float32)
+        self._mu = desc.mean(0)
+        sd = desc.std(0)
+        self._inv = np.where(sd < 1e-12, 1.0, 1.0 / sd).astype(np.float32)
+        blocks = self._blocks(maccs, counts, desc)
+        if self.weights[3]:
+            d = np.asarray(blocks[3])
+            sq = (d ** 2).sum(1)
+            d2 = sq[:, None] + sq[None, :] - 2.0 * np.asarray(d @ d.T)
+            self._gamma = jnp.float32(1.0 / (2.0 * max(np.median(d2), 1e-6)))
+        else:
+            self._gamma = jnp.float32(1.0)
+        return np.asarray(self._kernel(blocks, blocks))
 
 
 class TanimotoKNNClassifier(TanimotoKNNRegressor):

@@ -131,6 +131,22 @@ class RegressionTrainConfig:
     tkrr_leg: bool = True         # + Tanimoto kernel-ridge leg (full-gram
                                   # KRR, ops.similarity.TanimotoKernelRidge)
     tkrr_lam: float = 0.1
+    kernel_n_folds: Optional[int] = None
+                                  # finer CV split for the kernel-ridge legs
+                                  # (tkrr/ckrr) under honest/compat: the full
+                                  # gram is label-independent and computed
+                                  # once (device), so 50-fold (~LOO) costs
+                                  # only host sub-matrix solves. More train
+                                  # rows per fold -> measured +0.004 leg R2
+                                  # (scripts/estimate_folds_gain.py). Strict
+                                  # keeps the primary per-fold path.
+    nn_split_mix: bool = False    # NN/graph seed replicas rotate over
+                                  # split_repeats different kfold splits
+                                  # (replica 0 keeps the canonical split, so
+                                  # downstream fold bookkeeping is unchanged);
+                                  # averages away fold-assignment variance in
+                                  # the deep legs like split_repeats does for
+                                  # the shallow ones. honest/compat only.
     # combined chemistry-kernel ridge leg (ops.similarity.ChemKernelRidge):
     # Tanimoto(MACCS) + Tanimoto(Morgan bits) + minmax(Morgan counts) +
     # RBF(descriptors); weights/lam from the CPU tuning study
@@ -327,19 +343,29 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         if verbose:
             print(f"[regression] NN warm start from {cfg.nn_pretrained} "
                   f"(aux AUC {nn_auc:.4f})")
+    # split rotation (nn_split_mix): replica r trains on split
+    # seed + 7700*(r mod split_repeats) — replica 0 is always the canonical
+    # split. Disabled under strict (fold_affine is built for the primary
+    # split only).
+    def _split_seed(r: int) -> int:
+        if not cfg.nn_split_mix or strict:
+            return cfg.seed
+        return cfg.seed + 7700 * (r % max(1, cfg.split_repeats))
+
     nn_res = None
     oof_acc = None
     for r in range(max(1, cfg.nn_seeds)):
         res_r = train_cv(
             model, (nn_fp, img), y, n_folds=cfg.n_folds, epochs=cfg.epochs,
             batch_size=cfg.batch_size, lr=cfg.lr, seed=cfg.seed + 1000 * r,
-            split_seed=cfg.seed,
+            split_seed=_split_seed(r),
             snapshot_from=None if cfg.patience else cfg.snapshot_from,
             patience=cfg.patience, fold_affine=fold_affine,
             warm_start=nn_warm,
             log_every=(10 if verbose and r == 0 else 0))
         oof_acc = res_r.oof_pred if oof_acc is None else oof_acc + res_r.oof_pred
-        nn_res = res_r
+        if nn_res is None:
+            nn_res = res_r            # canonical split's fold bookkeeping
     nn_res.oof_pred = oof_acc / max(1, cfg.nn_seeds)
     folds = nn_res.fold_test_idx
 
@@ -379,6 +405,31 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         # independent of cfg.fp_kind (disk-cached by content hash)
         ck_desc, ck_maccs, ck_counts = raw_transfer_features(
             data.smiles, workers=cfg.workers)
+
+    # fine-grained CV for the kernel-ridge legs: grams are label-independent,
+    # so compute each FULL gram once (device matmuls) and run kernel_n_folds
+    # (~LOO at 50) as host sub-matrix solves — more train rows per fold
+    fine_kernels = bool(cfg.kernel_n_folds) and not strict
+    K_tk_full = K_ck_full = None
+    if fine_kernels and cfg.tkrr_leg:
+        K_tk_full = TanimotoKernelRidge.full_gram(fp_bits)
+    if fine_kernels and cfg.ckrr_leg:
+        K_ck_full = ChemKernelRidge(
+            cfg.ckrr_lam, weights=tuple(cfg.ckrr_weights)).full_gram(
+            ck_maccs, ck_counts, ck_desc)
+
+    def _gram_cv_oof(K: np.ndarray, lam: float, folds_k) -> np.ndarray:
+        out = np.zeros(n, np.float32)
+        for te in folds_k:
+            trm = np.ones(n, bool)
+            trm[te] = False
+            tr = np.arange(n)[trm]
+            ym = float(y[tr].mean())
+            a = np.linalg.solve(
+                K[np.ix_(tr, tr)] + lam * np.eye(len(tr), dtype=K.dtype),
+                y[tr] - ym)
+            out[te] = K[np.ix_(te, tr)] @ a + ym
+        return out
 
     # ---------------- SMILES-encoder leg (pretrained transformer) ----------
     if cfg.bert_leg:
@@ -450,7 +501,7 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                 gmodel, (feats, adj_t, mask), y, n_folds=cfg.n_folds,
                 epochs=cfg.graph_epochs, batch_size=cfg.batch_size,
                 lr=cfg.graph_lr,
-                seed=cfg.seed + 2000 + 1000 * r, split_seed=cfg.seed,
+                seed=cfg.seed + 2000 + 1000 * r, split_seed=_split_seed(r),
                 snapshot_from=None if cfg.patience else max(
                     1, cfg.graph_epochs - 15),
                 patience=cfg.patience, warm_start=g_warm,
@@ -513,17 +564,17 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                                 seed=sd).fit(xt[tr], y[tr])
             oof_r["cat"][te] += cat.predict(xt[te])
         for m in ("rf", "gbdt", "cat"):
-            oof[m][te] /= max(1, cfg.tree_seeds)
+            oof_r[m][te] /= max(1, cfg.tree_seeds)
         if cfg.extra_legs:
             oof_r["knn"][te] = KNeighborsRegressor(10).fit(xt[tr], y[tr]).predict(xt[te])
             oof_r["ridge"][te] = Ridge(10.0).fit(xt[tr], y[tr]).predict(xt[te])
         if cfg.tanimoto_leg:
             oof_r["tknn"][te] = TanimotoKNNRegressor(cfg.tknn_k).fit(
                 fp_bits[tr], y[tr]).predict(fp_bits[te])
-        if cfg.tkrr_leg:
+        if cfg.tkrr_leg and not fine_kernels:
             oof_r["tkrr"][te] = TanimotoKernelRidge(cfg.tkrr_lam).fit(
                 fp_bits[tr], y[tr]).predict(fp_bits[te])
-        if cfg.ckrr_leg:
+        if cfg.ckrr_leg and not fine_kernels:
             m = ChemKernelRidge(cfg.ckrr_lam,
                                 weights=tuple(cfg.ckrr_weights)).fit(
                 ck_maccs[tr], ck_counts[tr], ck_desc[tr], y[tr])
@@ -535,6 +586,13 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             oof_r["transfer"][te] = LinearRegression().fit(
                 transfer.features[tr], y[tr]).predict(transfer.features[te])
 
+      if fine_kernels:
+          folds_k = kfold_indices(n, cfg.kernel_n_folds,
+                                  cfg.seed + 7700 * rep)
+          if cfg.tkrr_leg:
+              oof_r["tkrr"] = _gram_cv_oof(K_tk_full, cfg.tkrr_lam, folds_k)
+          if cfg.ckrr_leg:
+              oof_r["ckrr"] = _gram_cv_oof(K_ck_full, cfg.ckrr_lam, folds_k)
       for m in rep_legs:
           rep_acc[m] += oof_r[m] / n_rep
     for m in rep_legs:

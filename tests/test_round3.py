@@ -238,6 +238,47 @@ class TestRegressionPipeline:
                   "meta_ridgecv", "meta_ridge_crossfit"):
             assert k in res.report and np.isfinite(res.report[k]["r2"]), k
 
+    def test_tree_seed_averaging_not_summing(self):
+        """Round-3 regression: with tree_seeds>1 the forest OOF columns must
+        stay on the label scale (a refactor once summed the seed replicas
+        without dividing, inflating every forest leg by tree_seeds and
+        driving leg R2 to ~-1.7 in a committed run)."""
+        from bbbp_tpu.train.regression import (RegressionTrainConfig,
+                                               run_regression)
+
+        d = _tiny_processed()
+        common = dict(
+            protocol="honest", n_folds=3, epochs=2, nn_seeds=1,
+            graph_leg=False, bert_leg=False, snapshot_from=None,
+            rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8)
+        r1 = run_regression(RegressionTrainConfig(tree_seeds=1, **common),
+                            data=d, verbose=False)
+        r2_ = run_regression(RegressionTrainConfig(tree_seeds=2, **common),
+                             data=d, verbose=False)
+        for m in ("rf", "gbdt", "cat"):
+            s1 = np.abs(r1.oof[m]).mean()
+            s2 = np.abs(r2_.oof[m]).mean()
+            assert s2 < 1.5 * s1 + 1e-3, (m, s1, s2)
+
+    def test_fine_kernels_and_split_mix(self):
+        """kernel_n_folds (full-gram fine CV for tkrr/ckrr) and nn_split_mix
+        (seed replicas rotating over split_repeats splits) produce finite
+        legs and an intact report."""
+        from bbbp_tpu.train.regression import (RegressionTrainConfig,
+                                               run_regression)
+
+        d = _tiny_processed()
+        cfg = RegressionTrainConfig(
+            protocol="honest", n_folds=3, epochs=2, nn_seeds=2,
+            nn_split_mix=True, split_repeats=2, tree_seeds=1,
+            graph_leg=False, bert_leg=False, snapshot_from=None,
+            rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8,
+            kernel_n_folds=8)
+        res = run_regression(cfg, data=d, verbose=False)
+        for m in ("tkrr", "ckrr", "tknn", "rf"):
+            assert np.isfinite(res.oof[m]).all(), m
+        assert np.isfinite(res.report["stacked"]["r2"])
+
 
 class TestBaselineGrid:
     def test_grid_stage_tunes_and_persists(self, tmp_path, monkeypatch):

@@ -133,28 +133,37 @@ static int symbol_z(const std::string& s) {
 // ring perception (mirrors mol.py::_perceive_rings)
 // ---------------------------------------------------------------------------
 static bool shortest_path_excl(const Mol& m, int src, int dst, int skip_bond,
-                               std::vector<int>* out) {
+                               const std::vector<char>& bridges,
+                               std::vector<int>* out, std::vector<int>& prev,
+                               std::vector<int>& queue) {
+  // Restricting to non-bridge bonds is exact: any simple path src→dst closed
+  // by the (src,dst) bond forms a simple cycle, and cycle edges are never
+  // bridges — so no path to dst can traverse one, and skipping them leaves
+  // the BFS discovery order of reachable-path vertices unchanged.
   int n = (int)m.atoms.size();
-  std::vector<int> prev(n, -2);
-  std::vector<int> queue;
-  queue.reserve(n);
+  if ((int)prev.size() != n) prev.assign(n, -2);
+  queue.clear();
   queue.push_back(src);
   prev[src] = -1;
   size_t qi = 0;
+  bool found = false;
   while (qi < queue.size()) {
     int u = queue[qi++];
     if (u == dst) {
       out->clear();
       while (u != -1) { out->push_back(u); u = prev[u]; }
-      return true;
+      found = true;
+      break;
     }
     for (int bi : m.nbr[u]) {
-      if (bi == skip_bond) continue;
+      if (bi == skip_bond || bridges[bi]) continue;
       int v = m.bonds[bi].other(u);
       if (prev[v] == -2) { prev[v] = u; queue.push_back(v); }
     }
   }
-  return false;
+  // reset only the touched entries instead of the whole array
+  for (int v : queue) prev[v] = -2;
+  return found;
 }
 
 // Tarjan bridge finding (iterative); true = bridge (not on any cycle).
@@ -204,13 +213,14 @@ static void perceive_rings(Mol& m) {
   std::vector<char> bridges = find_bridges(m);
   std::set<std::vector<int>> seen;
   std::vector<char> bond_in_ring(m.bonds.size(), 0);
+  std::vector<int> path, key, prev, queue;
   for (size_t bi = 0; bi < m.bonds.size(); bi++) {
     if (bridges[bi]) continue;
-    std::vector<int> path;
-    if (!shortest_path_excl(m, m.bonds[bi].a1, m.bonds[bi].a2, (int)bi, &path))
+    if (!shortest_path_excl(m, m.bonds[bi].a1, m.bonds[bi].a2, (int)bi,
+                            bridges, &path, prev, queue))
       continue;
     bond_in_ring[bi] = 1;
-    std::vector<int> key = path;
+    key = path;
     std::sort(key.begin(), key.end());
     if (seen.insert(key).second) m.rings.push_back(path);
   }
@@ -226,15 +236,15 @@ static void perceive_rings(Mol& m) {
 // ---------------------------------------------------------------------------
 // aromaticity perception (mirrors mol.py::_perceive_aromaticity)
 // ---------------------------------------------------------------------------
-static bool pi_contribution(const Mol& m, int ai, const std::set<int>& ring_set,
-                            int* out) {
+static bool pi_contribution(const Mol& m, int ai,
+                            const std::vector<char>& ring_mask, int* out) {
   const Atom& a = m.atoms[ai];
   bool in_ring_double = false, exo_double = false, has_triple = false;
   for (int bi : m.nbr[ai]) {
     const Bond& b = m.bonds[bi];
     int other = b.other(ai);
     if (b.order == BOND_DOUBLE) {
-      if (ring_set.count(other)) in_ring_double = true;
+      if (ring_mask[other]) in_ring_double = true;
       else exo_double = true;
     } else if (b.order == BOND_AROMATIC) {
       // canonical rule (mirrors mol.py): delocalized elsewhere → exo
@@ -257,35 +267,33 @@ static bool pi_contribution(const Mol& m, int ai, const std::set<int>& ring_set,
   return false;
 }
 
-static bool ring_pi_total(const Mol& m, const std::set<int>& rs, int* total) {
+static bool ring_pi_total(const Mol& m, const std::vector<int>& members,
+                          const std::vector<char>& mask, int* total) {
   *total = 0;
-  for (int i : rs) {
+  for (int i : members) {
     int c;
-    if (!pi_contribution(m, i, rs, &c)) return false;
+    if (!pi_contribution(m, i, mask, &c)) return false;
     *total += c;
   }
   return true;
 }
 
 // connected components of pi-capable size-3..7 rings sharing a bond → unions
-// (mirrors mol.py::_fused_ring_unions)
-static std::vector<std::set<int>> fused_ring_unions(const Mol& m) {
-  std::vector<const std::vector<int>*> small;
-  for (auto& r : m.rings) {
-    if (r.size() < 3 || r.size() > 7) continue;
-    std::set<int> rs(r.begin(), r.end());
-    int t;
-    if (ring_pi_total(m, rs, &t)) small.push_back(&r);
-  }
-  std::vector<std::set<int>> out;
+// (mirrors mol.py::_fused_ring_unions); `small` is the precomputed pi-capable
+// ring list, members returned sorted-unique
+static std::vector<std::vector<int>> fused_ring_unions(
+    const Mol& m, const std::vector<const std::vector<int>*>& small) {
+  std::vector<std::vector<int>> out;
   if (small.size() < 2) return out;
-  std::vector<std::set<std::pair<int,int>>> bondsets(small.size());
+  std::vector<std::vector<uint64_t>> bondsets(small.size());
   for (size_t i = 0; i < small.size(); i++) {
     const auto& r = *small[i];
     for (size_t k = 0; k < r.size(); k++) {
       int a1 = r[k], a2 = r[(k + 1) % r.size()];
-      bondsets[i].insert({std::min(a1,a2), std::max(a1,a2)});
+      bondsets[i].push_back(((uint64_t)std::min(a1, a2) << 32) |
+                            (uint32_t)std::max(a1, a2));
     }
+    std::sort(bondsets[i].begin(), bondsets[i].end());
   }
   std::vector<int> parent(small.size());
   for (size_t i = 0; i < parent.size(); i++) parent[i] = (int)i;
@@ -295,8 +303,13 @@ static std::vector<std::set<int>> fused_ring_unions(const Mol& m) {
   };
   for (size_t i = 0; i < small.size(); i++)
     for (size_t j = i + 1; j < small.size(); j++) {
-      for (auto& bp : bondsets[i])
-        if (bondsets[j].count(bp)) { parent[find((int)i)] = find((int)j); break; }
+      size_t a = 0, b = 0;
+      const auto& bi = bondsets[i];
+      const auto& bj = bondsets[j];
+      while (a < bi.size() && b < bj.size()) {
+        if (bi[a] == bj[b]) { parent[find((int)i)] = find((int)j); break; }
+        if (bi[a] < bj[b]) a++; else b++;
+      }
     }
   std::map<int, std::set<int>> comps;
   std::map<int, int> counts;
@@ -306,39 +319,49 @@ static std::vector<std::set<int>> fused_ring_unions(const Mol& m) {
     counts[root]++;
   }
   for (auto& kv : comps)
-    if (counts[kv.first] > 1) out.push_back(kv.second);
+    if (counts[kv.first] > 1)
+      out.emplace_back(kv.second.begin(), kv.second.end());
   return out;
 }
 
 static void perceive_aromaticity(Mol& m) {
+  // pi contributions depend only on bond orders and charges, which do not
+  // change until the bond rewrite below — so per-ring totals and the fused
+  // unions are loop-invariant and computed once (the passes only propagate
+  // monotone aromatic flags)
+  int n = (int)m.atoms.size();
+  std::vector<char> mask(n, 0);
+  struct Cand { const std::vector<int>* members; std::vector<int> owned; int total; };
+  std::vector<Cand> cands;
+  std::vector<const std::vector<int>*> small;
+  for (auto& ring : m.rings) {
+    if (ring.size() < 3 || ring.size() > 7) continue;
+    for (int i : ring) mask[i] = 1;
+    int total = 0;
+    bool ok = ring_pi_total(m, ring, mask, &total);
+    for (int i : ring) mask[i] = 0;
+    if (!ok) continue;
+    small.push_back(&ring);
+    cands.push_back({&ring, {}, total});
+  }
+  for (auto& uni : fused_ring_unions(m, small)) {
+    for (int i : uni) mask[i] = 1;
+    int total = 0;
+    bool ok = ring_pi_total(m, uni, mask, &total);
+    for (int i : uni) mask[i] = 0;
+    if (!ok) continue;
+    cands.push_back({nullptr, std::move(uni), total});
+  }
   bool changed = true;
   int passes = 0;
   while (changed && passes < 6) {
     changed = false;
     passes++;
-    for (auto& ring : m.rings) {
-      if (ring.size() < 3 || ring.size() > 7) continue;
-      bool all_arom = true;
-      for (int i : ring) if (!m.atoms[i].aromatic) { all_arom = false; break; }
-      if (all_arom) continue;
-      std::set<int> rs(ring.begin(), ring.end());
-      int total = 0;
-      if (!ring_pi_total(m, rs, &total)) continue;
-      if (total % 4 == 2) {
-        for (int i : ring)
-          if (!m.atoms[i].aromatic) { m.atoms[i].aromatic = true; changed = true; }
-      }
-    }
-    for (auto& uni : fused_ring_unions(m)) {
-      bool all_arom = true;
-      for (int i : uni) if (!m.atoms[i].aromatic) { all_arom = false; break; }
-      if (all_arom) continue;
-      int total = 0;
-      if (!ring_pi_total(m, uni, &total)) continue;
-      if (total % 4 == 2) {
-        for (int i : uni)
-          if (!m.atoms[i].aromatic) { m.atoms[i].aromatic = true; changed = true; }
-      }
+    for (auto& c : cands) {
+      if (c.total % 4 != 2) continue;
+      const std::vector<int>& mem = c.members ? *c.members : c.owned;
+      for (int i : mem)
+        if (!m.atoms[i].aromatic) { m.atoms[i].aromatic = true; changed = true; }
     }
   }
   for (auto& ring : m.rings) {
@@ -606,21 +629,33 @@ static uint64_t atom_invariant(const Mol& m, int i) {
 }
 
 static void morgan_bits(const Mol& m, int radius, int n_bits,
-                        std::set<uint64_t>* bits) {
+                        std::vector<uint64_t>* bits) {
   int n = (int)m.atoms.size();
-  std::vector<uint64_t> inv(n);
+  std::vector<uint64_t> inv(n), new_inv(n);
   for (int i = 0; i < n; i++) inv[i] = atom_invariant(m, i);
-  std::vector<std::set<int>> env(n);
   for (int i = 0; i < n; i++)
-    if (m.atoms[i].z > 1) bits->insert(inv[i] % n_bits);
-  // dedupe map: (radius, sorted bond set) -> min hash
-  std::map<std::pair<int, std::vector<int>>, uint64_t> best;
+    if (m.atoms[i].z > 1) bits->push_back(inv[i] % n_bits);
+  // Bond environments as fixed-stride bitsets over bond indices: union is a
+  // word-wise OR and the per-radius carry-over is one memcpy, replacing the
+  // per-atom std::set<int> copies that dominated the profile.
+  int nw = ((int)m.bonds.size() + 63) / 64;
+  if (nw == 0) nw = 1;
+  std::vector<uint64_t> env((size_t)n * nw, 0), new_env((size_t)n * nw);
+  // dedupe entries: (radius, env bitset words) -> min hash, resolved at the
+  // end by sorting a flat arena instead of a map keyed by vector<int>
+  std::vector<uint64_t> key_words;   // entry key bitsets, nw words each
+  std::vector<std::pair<int, uint64_t>> entries;  // (radius, inv) per key
+  std::vector<uint64_t> key_hash;    // FNV of the key words, sort accelerator
+  key_words.reserve((size_t)radius * n * nw);
+  entries.reserve((size_t)radius * n);
+  key_hash.reserve((size_t)radius * n);
+  std::vector<std::pair<std::pair<int, uint64_t>, int>> nbrs;  // ((code,inv),bond)
   for (int r = 1; r <= radius; r++) {
-    std::vector<uint64_t> new_inv(inv);
-    std::vector<std::set<int>> new_env(env);
+    std::memcpy(new_inv.data(), inv.data(), (size_t)n * sizeof(uint64_t));
+    std::memcpy(new_env.data(), env.data(), (size_t)n * nw * sizeof(uint64_t));
     for (int i = 0; i < n; i++) {
       if (m.atoms[i].z <= 1) continue;
-      std::vector<std::pair<std::pair<int,uint64_t>, int>> nbrs;  // ((code,inv),bond)
+      nbrs.clear();
       for (int bi : m.nbr[i]) {
         const Bond& b = m.bonds[bi];
         int j = b.other(i);
@@ -632,12 +667,14 @@ static void morgan_bits(const Mol& m, int radius, int n_bits,
       uint64_t h = 0x9e3779b97f4a7c15ULL;
       h = mix(h, (uint64_t)r);
       h = mix(h, inv[i]);
+      uint64_t* ne = &new_env[(size_t)i * nw];
       for (auto& nb : nbrs) {
         h = mix(h, (uint64_t)nb.first.first);
         h = mix(h, nb.first.second);
-        new_env[i].insert(nb.second);
-        int j = m.bonds[nb.second].other(i);
-        new_env[i].insert(env[j].begin(), env[j].end());
+        int bi = nb.second;
+        ne[bi >> 6] |= 1ULL << (bi & 63);
+        const uint64_t* ej = &env[(size_t)m.bonds[bi].other(i) * nw];
+        for (int w = 0; w < nw; w++) ne[w] |= ej[w];
       }
       new_inv[i] = h;
     }
@@ -645,13 +682,40 @@ static void morgan_bits(const Mol& m, int radius, int n_bits,
     env.swap(new_env);
     for (int i = 0; i < n; i++) {
       if (m.atoms[i].z <= 1) continue;
-      std::vector<int> key(env[i].begin(), env[i].end());
-      auto k = std::make_pair(r, key);
-      auto it = best.find(k);
-      if (it == best.end() || inv[i] < it->second) best[k] = inv[i];
+      const uint64_t* ei = &env[(size_t)i * nw];
+      key_words.insert(key_words.end(), ei, ei + nw);
+      uint64_t kh = 0xcbf29ce484222325ULL;
+      for (int w = 0; w < nw; w++) kh = (kh ^ ei[w]) * 0x100000001B3ULL;
+      key_hash.push_back(kh);
+      entries.push_back({r, inv[i]});
     }
   }
-  for (auto& kv : best) bits->insert(kv.second % n_bits);
+  int ne = (int)entries.size();
+  std::vector<int> order(ne);
+  for (int i = 0; i < ne; i++) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    if (entries[a].first != entries[b].first)
+      return entries[a].first < entries[b].first;
+    if (key_hash[a] != key_hash[b]) return key_hash[a] < key_hash[b];
+    const uint64_t* wa = &key_words[(size_t)a * nw];
+    const uint64_t* wb = &key_words[(size_t)b * nw];
+    for (int w = 0; w < nw; w++)
+      if (wa[w] != wb[w]) return wa[w] < wb[w];
+    return false;
+  });
+  for (int s = 0; s < ne;) {
+    uint64_t best_inv = entries[order[s]].second;
+    int e = s + 1;
+    while (e < ne && entries[order[e]].first == entries[order[s]].first &&
+           std::memcmp(&key_words[(size_t)order[e] * nw],
+                       &key_words[(size_t)order[s] * nw],
+                       (size_t)nw * sizeof(uint64_t)) == 0) {
+      best_inv = std::min(best_inv, entries[order[e]].second);
+      e++;
+    }
+    bits->push_back(best_inv % n_bits);
+    s = e;
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -678,7 +742,7 @@ static uint64_t hash_path_dir(const Mol& m, const std::vector<int>& atoms,
 }
 
 static void path_bits_dfs(const Mol& m, int min_path, int max_path, int n_bits,
-                          int bits_per_hash, std::set<uint64_t>* bits) {
+                          int bits_per_hash, std::vector<uint64_t>* bits) {
   std::set<std::vector<int>> seen;
   std::vector<int> path_bonds, path_atoms;
 
@@ -694,7 +758,7 @@ static void path_bits_dfs(const Mol& m, int min_path, int max_path, int n_bits,
         uint64_t rng = h;
         for (int t = 0; t < bits_per_hash; t++) {
           rng = mix(rng, 0x2545F4914F6CDD1DULL);
-          bits->insert(rng % n_bits);
+          bits->push_back(rng % n_bits);
         }
       }
     }
@@ -1057,7 +1121,7 @@ extern "C" int bbbp_fingerprints_packed(const char** smiles, int n, int kind,
       try { ok = parse_smiles(s, &mol); } catch (...) { ok = false; }
       if (!ok) { bad[i] = 1; continue; }
       bad[i] = 0;
-      std::set<uint64_t> bits;
+      std::vector<uint64_t> bits;
       if (kind == 0) morgan_bits(mol, radius, n_bits, &bits);
       else path_bits_dfs(mol, 1, 7, n_bits, 2, &bits);
       uint32_t* row = out + (size_t)i * words;
@@ -1099,7 +1163,7 @@ extern "C" int bbbp_fingerprints(const char** smiles, int n, int kind,
         keys::compute(mol, row);
         continue;
       }
-      std::set<uint64_t> bits;
+      std::vector<uint64_t> bits;
       if (kind == 0) morgan_bits(mol, radius, n_bits, &bits);
       else path_bits_dfs(mol, 1, 7, n_bits, 2, &bits);
       for (uint64_t b : bits) row[b] = 1.0f;

@@ -1,0 +1,64 @@
+"""Rerun ONLY the final strict-protocol regression (fallback for a wedged
+transfer-campaign strict stage). Same config as round3_transfer_campaign's
+final_cfg("strict"). Gate first:
+  bash scripts/tpu_gate.sh && python -u scripts/round3_strict_only.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("BBBP_TRANSFER_CACHE", "/root/repo/.bench_cache")
+
+T0 = time.time()
+OUT = "/root/repo/results"
+TUNED = os.path.join(OUT, "regression_tuned_params.json")
+PRE_DIR = "/root/repo/.bench_cache/bert_pretrained"
+
+
+def log(msg):
+    print(f"[r3st +{time.time()-T0:7.0f}s] {msg}", flush=True)
+
+
+import jax
+import jax.numpy as jnp
+
+assert float(jnp.ones((64, 64)).sum()) == 4096.0
+log(f"TPU healthy: {jax.devices()}")
+
+from bbbp_tpu.pipelines.preprocess import ProcessedData
+from bbbp_tpu.train.regression import RegressionTrainConfig, run_regression
+
+best = {}
+if os.path.exists(TUNED):
+    with open(TUNED) as f:
+        best = json.load(f)
+
+cfg = RegressionTrainConfig(
+    protocol="strict", graph_leg=True, bert_leg=True,
+    bert_pretrained_dir=PRE_DIR,
+    nn_seeds=4, graph_seeds=3, bert_seeds=3, tree_seeds=3,
+    split_repeats=1, meta="linear", transfer_leg=True,
+    transfer_models=("tknn",),
+    out_dir=f"{OUT}/reg_maccs_strict_r3")
+if "nn" in best:
+    cfg.lr = float(best["nn"]["learning_rate"])
+    cfg.n_layers = int(best["nn"].get("n_layers", 4))
+if "graph" in best:
+    cfg.graph_lr = float(best["graph"]["learning_rate"])
+    cfg.graph_hidden = int(best["graph"].get("hidden", 192))
+if "smiles" in best:
+    cfg.bert_lr = float(best["smiles"]["learning_rate"])
+if "gbdt" in best:
+    cfg.gbdt_lr = float(best["gbdt"]["learning_rate"])
+    cfg.gbdt_subsample = float(best["gbdt"].get("subsample", 0.8))
+    cfg.gbdt_colsample = float(best["gbdt"].get("colsample", 1.0))
+    cfg.gbdt_lambda = float(best["gbdt"].get("reg_lambda", 1.0))
+
+data = ProcessedData.load("/root/repo/.bench_cache/pp_maccs_raw1.pkl")
+res = run_regression(cfg, data=data, verbose=True)
+out = f"{OUT}/regression_maccs_strict_full.json"
+with open(out, "w") as f:
+    json.dump(res.report, f, indent=1)
+log(f"strict done -> {out} (stacked R2={res.report['stacked']['r2']:.4f})")

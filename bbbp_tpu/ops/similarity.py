@@ -180,7 +180,7 @@ class ChemKernelRidge:
         desc = np.asarray(desc, np.float32)
         self._mu = desc.mean(0)
         sd = desc.std(0)
-        self._inv = np.where(sd < 1e-12, 1.0, 1.0 / sd).astype(np.float32)
+        self._inv = (1.0 / np.where(sd < 1e-12, 1.0, sd)).astype(np.float32)
         self._train = self._blocks(maccs, counts, desc)
         if self.weights[3]:
             d = np.asarray(self._train[3])
@@ -218,7 +218,7 @@ class ChemKernelRidge:
         desc = np.asarray(desc, np.float32)
         self._mu = desc.mean(0)
         sd = desc.std(0)
-        self._inv = np.where(sd < 1e-12, 1.0, 1.0 / sd).astype(np.float32)
+        self._inv = (1.0 / np.where(sd < 1e-12, 1.0, sd)).astype(np.float32)
         blocks = self._blocks(maccs, counts, desc)
         if self.weights[3]:
             d = np.asarray(blocks[3])

@@ -354,6 +354,11 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
 
     nn_res = None
     oof_acc = None
+    # per-seed OOF columns kept for the `meta_perseed` diagnostic (each seed's
+    # column is fully out-of-fold for its own split, so exposing members as
+    # separate meta features is textbook stacked generalization — zero extra
+    # fits; the crossfit report shows whether it generalizes)
+    seed_cols: dict = {}
     for r in range(max(1, cfg.nn_seeds)):
         res_r = train_cv(
             model, (nn_fp, img), y, n_folds=cfg.n_folds, epochs=cfg.epochs,
@@ -364,6 +369,7 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             warm_start=nn_warm,
             log_every=(10 if verbose and r == 0 else 0))
         oof_acc = res_r.oof_pred if oof_acc is None else oof_acc + res_r.oof_pred
+        seed_cols.setdefault("nn", []).append(np.asarray(res_r.oof_pred))
         if nn_res is None:
             nn_res = res_r            # canonical split's fold bookkeeping
     nn_res.oof_pred = oof_acc / max(1, cfg.nn_seeds)
@@ -474,6 +480,7 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                 patience=cfg.patience,
                 log_every=(20 if verbose and r == 0 else 0))
             b_acc = b_res.oof_pred if b_acc is None else b_acc + b_res.oof_pred
+            seed_cols.setdefault("smiles", []).append(np.asarray(b_res.oof_pred))
         oof["smiles"] = b_acc / max(1, cfg.bert_seeds)
 
     # ---------------- graph leg (edge-featured MPNN) -----------------------
@@ -507,6 +514,7 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                 patience=cfg.patience, warm_start=g_warm,
                 log_every=(20 if verbose and r == 0 else 0))
             g_acc = g_res.oof_pred if g_acc is None else g_acc + g_res.oof_pred
+            seed_cols.setdefault("graph", []).append(np.asarray(g_res.oof_pred))
         oof["graph"] = g_acc / max(1, cfg.graph_seeds)
 
     # ---------------- tree + shallow legs (per fold) -----------------------
@@ -528,6 +536,10 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     n_rep = 1 if strict else max(1, cfg.split_repeats)
     rep_legs = [m for m in leg_names if m not in ("nn", "graph", "smiles")]
     rep_acc = {m: np.zeros(n, np.float32) for m in rep_legs}
+    n_ts = max(1, cfg.tree_seeds)
+    # per-seed forest columns (averaged over repeats) for meta_perseed
+    tree_seed_acc = {m: np.zeros((n_ts, n), np.float32)
+                     for m in ("rf", "gbdt", "cat")}
     for rep in range(n_rep):
       folds_r = (folds if rep == 0
                  else kfold_indices(n, cfg.n_folds, cfg.seed + 7700 * rep))
@@ -546,7 +558,9 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                                        colsample=cfg.rf_colsample,
                                        reg_lambda=cfg.rf_lambda,
                                        seed=sd).fit(xt[tr], y[tr])
-            oof_r["rf"][te] += rf.predict(xt[te])
+            p_rf = np.asarray(rf.predict(xt[te]))
+            oof_r["rf"][te] += p_rf
+            tree_seed_acc["rf"][s, te] += p_rf / n_rep
             gb = GBDTRegressor(n_estimators=cfg.gbdt_trees,
                                learning_rate=cfg.gbdt_lr,
                                max_depth=cfg.gbdt_depth,
@@ -554,7 +568,9 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                                colsample=cfg.gbdt_colsample,
                                reg_lambda=cfg.gbdt_lambda,
                                seed=sd).fit(xt[tr], y[tr])
-            oof_r["gbdt"][te] += gb.predict(xt[te])
+            p_gb = np.asarray(gb.predict(xt[te]))
+            oof_r["gbdt"][te] += p_gb
+            tree_seed_acc["gbdt"][s, te] += p_gb / n_rep
             cat = GBDTRegressor(n_estimators=cfg.cat_trees,
                                 learning_rate=cfg.cat_lr,
                                 max_depth=cfg.cat_depth, oblivious=True,
@@ -562,7 +578,9 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                                 colsample=cfg.cat_colsample,
                                 reg_lambda=cfg.cat_lambda,
                                 seed=sd).fit(xt[tr], y[tr])
-            oof_r["cat"][te] += cat.predict(xt[te])
+            p_cat = np.asarray(cat.predict(xt[te]))
+            oof_r["cat"][te] += p_cat
+            tree_seed_acc["cat"][s, te] += p_cat / n_rep
         for m in ("rf", "gbdt", "cat"):
             oof_r[m][te] /= max(1, cfg.tree_seeds)
         if cfg.extra_legs:
@@ -597,6 +615,9 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
           rep_acc[m] += oof_r[m] / n_rep
     for m in rep_legs:
         oof[m] = rep_acc[m]
+    if n_ts > 1:
+        for m in ("rf", "gbdt", "cat"):
+            seed_cols[m] = list(tree_seed_acc[m])
 
     # ---------------- stacking ---------------------------------------------
     stack_x = np.stack([oof[k] for k in leg_names], axis=1)
@@ -623,6 +644,19 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         report[f"meta_{mname}"] = metrics.regression_report(y, m_in)
         m_cv = _crossfit_stack(stack_x, y, folds, ctor)
         report[f"meta_{mname}_crossfit"] = metrics.regression_report(y, m_cv)
+    # meta over per-seed member columns (diagnostic; headline unchanged):
+    # every ensemble member's OOF column as its own meta feature
+    perseed_cols = []
+    for k in leg_names:
+        cols_k = seed_cols.get(k)
+        perseed_cols += ([np.asarray(c, np.float32) for c in cols_k]
+                         if cols_k and len(cols_k) > 1 else [oof[k]])
+    if len(perseed_cols) > len(leg_names):
+        ps_x = np.stack(perseed_cols, axis=1)
+        ps_in = np.asarray(LinearRegression().fit(ps_x, y).predict(ps_x))
+        report["meta_perseed"] = metrics.regression_report(y, ps_in)
+        ps_cv = _crossfit_stack(ps_x, y, folds, LinearRegression)
+        report["meta_perseed_crossfit"] = metrics.regression_report(y, ps_cv)
     if transfer is not None:
         report["transfer_quality"] = {
             **{f"auc_{k}": v for k, v in transfer.holdout_auc.items()},
@@ -637,11 +671,13 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             print(f"[regression] transfer aux: {transfer.n_aux} molecules, "
                   f"holdout AUC {transfer.holdout_auc}")
     if cfg.out_dir:
-        _write_artifacts(cfg, data, nn_res, oof, stacked, y, report)
+        _write_artifacts(cfg, data, nn_res, oof, stacked, y, report,
+                         seed_cols=seed_cols)
     return RegressionRunResult(oof, stacked, y, report, time.time() - t0)
 
 
-def _write_artifacts(cfg, data, nn_res, oof, stacked, y, report):
+def _write_artifacts(cfg, data, nn_res, oof, stacked, y, report,
+                     seed_cols=None):
     """The reference's artifact set (SURVEY §2.8 S2): metrics CSV, loss curves,
     pred-vs-actual scatter with metrics in the filename, distribution plot,
     NN checkpoint, stacking meta weights."""
@@ -663,7 +699,11 @@ def _write_artifacts(cfg, data, nn_res, oof, stacked, y, report):
         r2=r2, mse=mse)
     plots.distribution_plot(y, stacked, os.path.join(d, "prediction_distribution.png"))
     with open(os.path.join(d, "oof_predictions.pkl"), "wb") as f:
-        pickle.dump({"y": y, **oof, "stacked": stacked}, f)
+        payload = {"y": y, **oof, "stacked": stacked}
+        for k, cols in (seed_cols or {}).items():
+            for i, c in enumerate(cols):
+                payload[f"{k}_seed{i}"] = np.asarray(c)
+        pickle.dump(payload, f)
     save_checkpoint(os.path.join(d, "nn_checkpoint"),
                     {"params": nn_res.params, "batch_stats": nn_res.batch_stats})
 

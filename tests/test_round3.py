@@ -278,6 +278,13 @@ class TestRegressionPipeline:
         for m in ("tkrr", "ckrr", "tknn", "rf"):
             assert np.isfinite(res.oof[m]).all(), m
         assert np.isfinite(res.report["stacked"]["r2"])
+        # nn_seeds=2 -> the per-seed-member meta diagnostic must be present
+        # and finite (in-sample fit on more columns >= the averaged-leg fit)
+        assert "meta_perseed" in res.report
+        assert np.isfinite(res.report["meta_perseed"]["r2"])
+        assert np.isfinite(res.report["meta_perseed_crossfit"]["r2"])
+        assert (res.report["meta_perseed"]["r2"]
+                >= res.report["meta_linear"]["r2"] - 1e-5)
 
 
 class TestBaselineGrid:

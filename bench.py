@@ -163,7 +163,10 @@ def main() -> None:
         mesh = Mesh(_np.array(jax.devices()), ("data",))
 
     # warmup at the SAME chunk size: one compiled executable serves every chunk
-    chunk = 16384
+    # with the 3x C++ featurizer (~49k mol/s) the device path's per-chunk
+    # dispatch cost is co-dominant; BENCH_CHUNK lets live runs probe larger
+    # chunks (amortize tunnel RPCs) without changing the proven default
+    chunk = int(os.environ.get("BENCH_CHUNK", "16384"))
     warm = [(s, "w") for s in smiles[:chunk]]
     screen(model, iter(warm), out_csv=None, chunk_size=chunk, mesh=mesh)
 

@@ -168,15 +168,29 @@ static bool shortest_path_excl(const Mol& m, int src, int dst, int skip_bond,
 
 // Tarjan bridge finding (iterative); true = bridge (not on any cycle).
 // Mirrors mol.py::_find_bridges so ring perception is atom-order invariant.
-static std::vector<char> find_bridges(const Mol& m) {
+struct BridgeFrame { int u; int pbond; size_t it; };
+struct RingScratch {
+  std::vector<int> disc, low, path, key, prev, queue;
+  std::vector<char> is_bridge, bond_in_ring;
+  std::vector<BridgeFrame> stack;
+  std::vector<std::vector<int>> seen;  // sorted ring keys (few per molecule)
+};
+static thread_local RingScratch RS;
+
+static std::vector<char>& find_bridges(const Mol& m) {
   int n = (int)m.atoms.size();
-  std::vector<int> disc(n, -1), low(n, 0);
-  std::vector<char> is_bridge(m.bonds.size(), 0);
+  std::vector<int>& disc = RS.disc;
+  std::vector<int>& low = RS.low;
+  disc.assign(n, -1);
+  low.assign(n, 0);
+  std::vector<char>& is_bridge = RS.is_bridge;
+  is_bridge.assign(m.bonds.size(), 0);
   int timer = 0;
-  struct Frame { int u; int pbond; size_t it; };
+  using Frame = BridgeFrame;
   for (int root = 0; root < n; root++) {
     if (disc[root] != -1) continue;
-    std::vector<Frame> stack;
+    std::vector<Frame>& stack = RS.stack;
+    stack.clear();
     stack.push_back({root, -1, 0});
     disc[root] = low[root] = timer++;
     while (!stack.empty()) {
@@ -210,10 +224,18 @@ static std::vector<char> find_bridges(const Mol& m) {
 }
 
 static void perceive_rings(Mol& m) {
-  std::vector<char> bridges = find_bridges(m);
-  std::set<std::vector<int>> seen;
-  std::vector<char> bond_in_ring(m.bonds.size(), 0);
-  std::vector<int> path, key, prev, queue;
+  std::vector<char>& bridges = find_bridges(m);
+  // dedupe by sorted member list; ring counts per molecule are tiny, so a
+  // linear scan over kept keys beats a std::set of vectors (no node allocs)
+  std::vector<std::vector<int>>& seen = RS.seen;
+  size_t n_seen = 0;
+  std::vector<char>& bond_in_ring = RS.bond_in_ring;
+  bond_in_ring.assign(m.bonds.size(), 0);
+  std::vector<int>& path = RS.path;
+  std::vector<int>& key = RS.key;
+  std::vector<int>& prev = RS.prev;
+  std::vector<int>& queue = RS.queue;
+  prev.clear();  // size != n_atoms forces the per-molecule reset in the BFS
   for (size_t bi = 0; bi < m.bonds.size(); bi++) {
     if (bridges[bi]) continue;
     if (!shortest_path_excl(m, m.bonds[bi].a1, m.bonds[bi].a2, (int)bi,
@@ -222,7 +244,14 @@ static void perceive_rings(Mol& m) {
     bond_in_ring[bi] = 1;
     key = path;
     std::sort(key.begin(), key.end());
-    if (seen.insert(key).second) m.rings.push_back(path);
+    bool dup = false;
+    for (size_t k = 0; k < n_seen; k++)
+      if (seen[k] == key) { dup = true; break; }
+    if (!dup) {
+      if (seen.size() <= n_seen) seen.emplace_back();
+      seen[n_seen++] = key;
+      m.rings.push_back(path);
+    }
   }
   for (size_t bi = 0; bi < m.bonds.size(); bi++) {
     m.bonds[bi].in_ring = bond_in_ring[bi];
@@ -494,8 +523,15 @@ static bool parse_smiles(const std::string& s, Mol* mol) {
   int pending_bond = -1;  // -1 = default
   int pending_stereo = 0;
   std::vector<std::pair<int, std::pair<int,int>>> stack;  // (atom, (bond, stereo))
-  std::map<int, std::pair<int, std::pair<int,int>>> ring_open;
+  // ring-closure table: flat array indexed by digit (0-99), atom<0 = empty —
+  // replaces a std::map in the per-molecule hot loop
+  struct RingOpen { int atom = -1, bond = -1, stereo = 0; };
+  RingOpen ring_open[100];
+  int n_ring_open = 0;
   size_t i = 0, n = s.size();
+  mol->atoms.reserve(n);
+  mol->nbr.reserve(n);
+  mol->bonds.reserve(n + 8);
 
   auto make_bond = [&](int a1, int a2, int code, int stereo) -> bool {
     if (code < 0) {
@@ -538,18 +574,19 @@ static bool parse_smiles(const std::string& s, Mol* mol) {
         num = c - '0';
         i += 1;
       }
-      auto it = ring_open.find(num);
-      if (it != ring_open.end()) {
-        int open_atom = it->second.first;
-        int open_code = it->second.second.first;
-        int open_stereo = it->second.second.second;
-        ring_open.erase(it);
+      if (ring_open[num].atom >= 0) {
+        int open_atom = ring_open[num].atom;
+        int open_code = ring_open[num].bond;
+        int open_stereo = ring_open[num].stereo;
+        ring_open[num].atom = -1;
+        n_ring_open--;
         int code = pending_bond >= 0 ? pending_bond : open_code;
         int stereo = pending_stereo ? pending_stereo : open_stereo;
         if (open_atom == prev_atom) return false;
         if (!make_bond(open_atom, prev_atom, code, stereo)) return false;
       } else {
-        ring_open[num] = {prev_atom, {pending_bond, pending_stereo}};
+        ring_open[num] = {prev_atom, pending_bond, pending_stereo};
+        n_ring_open++;
       }
       pending_bond = -1; pending_stereo = 0;
     } else if (c == '[') {
@@ -566,14 +603,25 @@ static bool parse_smiles(const std::string& s, Mol* mol) {
     } else {
       // organic subset
       Atom atom;
+      // direct z-codes for the organic subset (identical to the symbol_z
+      // table; skips a temporary string + map lookup per atom)
       if (i + 1 < n && ((c=='C'&&s[i+1]=='l') || (c=='B'&&s[i+1]=='r'))) {
-        atom.z = symbol_z(s.substr(i, 2));
+        atom.z = (c == 'C') ? 17 : 35;
         i += 2;
       } else if (strchr("BCNOPSFI", c)) {
-        atom.z = symbol_z(std::string(1, c));
+        switch (c) {
+          case 'B': atom.z = 5; break;  case 'C': atom.z = 6; break;
+          case 'N': atom.z = 7; break;  case 'O': atom.z = 8; break;
+          case 'P': atom.z = 15; break; case 'S': atom.z = 16; break;
+          case 'F': atom.z = 9; break;  default:  atom.z = 53; break;
+        }
         i += 1;
       } else if (strchr("bcnops", c)) {
-        atom.z = symbol_z(std::string(1, (char)toupper(c)));
+        switch (c) {
+          case 'b': atom.z = 5; break;  case 'c': atom.z = 6; break;
+          case 'n': atom.z = 7; break;  case 'o': atom.z = 8; break;
+          case 'p': atom.z = 15; break; default:  atom.z = 16; break;
+        }
         atom.aromatic = true;
         i += 1;
       } else if (c == '*') {
@@ -589,7 +637,7 @@ static bool parse_smiles(const std::string& s, Mol* mol) {
       pending_bond = -1; pending_stereo = 0;
     }
   }
-  if (!stack.empty() || !ring_open.empty() || mol->atoms.empty()) return false;
+  if (!stack.empty() || n_ring_open != 0 || mol->atoms.empty()) return false;
   perceive_rings(*mol);
   assign_implicit_h(*mol);    // H from kekulé orders BEFORE aromatization
   perceive_aromaticity(*mol);
@@ -628,10 +676,23 @@ static uint64_t atom_invariant(const Mol& m, int i) {
   return h;
 }
 
+// per-thread scratch so repeated morgan_bits calls reuse capacity instead of
+// re-allocating ~9 vectors per molecule (the batch APIs call this in a loop)
+struct MorganScratch {
+  std::vector<uint64_t> inv, new_inv, env, new_env, key_words, key_hash;
+  std::vector<std::pair<int, uint64_t>> entries;
+  std::vector<std::pair<std::pair<int, uint64_t>, int>> nbrs;
+  std::vector<int> order;
+};
+
 static void morgan_bits(const Mol& m, int radius, int n_bits,
                         std::vector<uint64_t>* bits) {
+  thread_local MorganScratch S;
   int n = (int)m.atoms.size();
-  std::vector<uint64_t> inv(n), new_inv(n);
+  std::vector<uint64_t>& inv = S.inv;
+  std::vector<uint64_t>& new_inv = S.new_inv;
+  inv.resize(n);
+  new_inv.resize(n);
   for (int i = 0; i < n; i++) inv[i] = atom_invariant(m, i);
   for (int i = 0; i < n; i++)
     if (m.atoms[i].z > 1) bits->push_back(inv[i] % n_bits);
@@ -640,16 +701,19 @@ static void morgan_bits(const Mol& m, int radius, int n_bits,
   // per-atom std::set<int> copies that dominated the profile.
   int nw = ((int)m.bonds.size() + 63) / 64;
   if (nw == 0) nw = 1;
-  std::vector<uint64_t> env((size_t)n * nw, 0), new_env((size_t)n * nw);
+  std::vector<uint64_t>& env = S.env;
+  std::vector<uint64_t>& new_env = S.new_env;
+  env.assign((size_t)n * nw, 0);
+  new_env.resize((size_t)n * nw);
   // dedupe entries: (radius, env bitset words) -> min hash, resolved at the
   // end by sorting a flat arena instead of a map keyed by vector<int>
-  std::vector<uint64_t> key_words;   // entry key bitsets, nw words each
-  std::vector<std::pair<int, uint64_t>> entries;  // (radius, inv) per key
-  std::vector<uint64_t> key_hash;    // FNV of the key words, sort accelerator
-  key_words.reserve((size_t)radius * n * nw);
-  entries.reserve((size_t)radius * n);
-  key_hash.reserve((size_t)radius * n);
-  std::vector<std::pair<std::pair<int, uint64_t>, int>> nbrs;  // ((code,inv),bond)
+  std::vector<uint64_t>& key_words = S.key_words;  // key bitsets, nw words each
+  std::vector<std::pair<int, uint64_t>>& entries = S.entries;  // (radius, inv)
+  std::vector<uint64_t>& key_hash = S.key_hash;  // FNV sort accelerator
+  key_words.clear();
+  entries.clear();
+  key_hash.clear();
+  auto& nbrs = S.nbrs;  // ((code,inv),bond)
   for (int r = 1; r <= radius; r++) {
     std::memcpy(new_inv.data(), inv.data(), (size_t)n * sizeof(uint64_t));
     std::memcpy(new_env.data(), env.data(), (size_t)n * nw * sizeof(uint64_t));
@@ -691,7 +755,8 @@ static void morgan_bits(const Mol& m, int radius, int n_bits,
     }
   }
   int ne = (int)entries.size();
-  std::vector<int> order(ne);
+  std::vector<int>& order = S.order;
+  order.resize(ne);
   for (int i = 0; i < ne; i++) order[i] = i;
   std::sort(order.begin(), order.end(), [&](int a, int b) {
     if (entries[a].first != entries[b].first)
@@ -741,17 +806,75 @@ static uint64_t hash_path_dir(const Mol& m, const std::vector<int>& atoms,
   return h;
 }
 
+// open-addressing uint64 set (0 = empty slot) for per-path dedup: the DFS
+// visits each simple path once per direction, so dedup runs hundreds-to-
+// thousands of times per molecule and a node-allocating std::set of vectors
+// dominated the path-fp profile
+struct U64Set {
+  std::vector<uint64_t> slots;
+  size_t mask = 0, count = 0;
+  void reset(size_t cap_pow2) {
+    slots.assign(cap_pow2, 0);
+    mask = cap_pow2 - 1;
+    count = 0;
+  }
+  static size_t probe0(uint64_t v, size_t mask) {
+    return (size_t)((v * 0x9E3779B97F4A7C15ULL) >> 13) & mask;
+  }
+  bool insert(uint64_t v) {  // v must be nonzero; true = newly inserted
+    if ((count + 1) * 4 >= slots.size() * 3) grow();
+    size_t i = probe0(v, mask);
+    while (slots[i]) {
+      if (slots[i] == v) return false;
+      i = (i + 1) & mask;
+    }
+    slots[i] = v;
+    count++;
+    return true;
+  }
+  void grow() {
+    std::vector<uint64_t> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, 0);
+    mask = slots.size() - 1;
+    for (uint64_t v : old)
+      if (v) {
+        size_t i = probe0(v, mask);
+        while (slots[i]) i = (i + 1) & mask;
+        slots[i] = v;
+      }
+  }
+};
+
 static void path_bits_dfs(const Mol& m, int min_path, int max_path, int n_bits,
                           int bits_per_hash, std::vector<uint64_t>* bits) {
+  // dedup key = sorted bond-index list. With max_path <= 7 and < 255 bonds it
+  // packs bijectively into one uint64 (byte per bond index + 1, length implied
+  // by the nonzero bytes) -> flat-set dedup; larger molecules keep the
+  // allocating std::set path for identical semantics.
+  bool packed = max_path <= 7 && m.bonds.size() < 255;
+  thread_local U64Set seen_fast;
+  if (packed) seen_fast.reset(4096);
   std::set<std::vector<int>> seen;
   std::vector<int> path_bonds, path_atoms;
 
-  std::function<void()> dfs = [&]() {
+  auto dfs = [&](auto&& self) -> void {
     int L = (int)path_bonds.size();
     if (L >= min_path) {
-      std::vector<int> key = path_bonds;
-      std::sort(key.begin(), key.end());
-      if (seen.insert(key).second) {
+      bool fresh;
+      if (packed) {
+        int tmp[8];
+        for (int t = 0; t < L; t++) tmp[t] = path_bonds[t];
+        std::sort(tmp, tmp + L);
+        uint64_t code = 0;
+        for (int t = 0; t < L; t++) code = (code << 8) | (uint64_t)(tmp[t] + 1);
+        fresh = seen_fast.insert(code);
+      } else {
+        std::vector<int> key = path_bonds;
+        std::sort(key.begin(), key.end());
+        fresh = seen.insert(key).second;
+      }
+      if (fresh) {
         uint64_t fwd = hash_path_dir(m, path_atoms, path_bonds, false);
         uint64_t rv = hash_path_dir(m, path_atoms, path_bonds, true);
         uint64_t h = std::min(fwd, rv);
@@ -773,7 +896,7 @@ static void path_bits_dfs(const Mol& m, int min_path, int max_path, int n_bits,
       if (in_path && !(j == path_atoms[0] && path_atoms.size() > 2)) continue;
       path_bonds.push_back(bi);
       path_atoms.push_back(j);
-      dfs();
+      self(self);
       path_bonds.pop_back();
       path_atoms.pop_back();
     }
@@ -783,7 +906,7 @@ static void path_bits_dfs(const Mol& m, int min_path, int max_path, int n_bits,
     if (m.atoms[start].z <= 1) continue;
     path_atoms.assign(1, start);
     path_bonds.clear();
-    dfs();
+    dfs(dfs);
   }
 }
 
@@ -1108,20 +1231,22 @@ extern "C" int bbbp_fingerprints_packed(const char** smiles, int n, int kind,
   threads = std::max(1, std::min(threads, 64));
   std::atomic<int> next(0);
   auto worker = [&]() {
+    std::string s;
+    std::vector<uint64_t> bits;
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
       Mol mol;
-      std::string s(smiles[i]);
-      while (!s.empty() && isspace((unsigned char)s.back())) s.pop_back();
-      size_t st = 0;
-      while (st < s.size() && isspace((unsigned char)s[st])) st++;
-      s = s.substr(st);
+      const char* p = smiles[i];
+      size_t len = strlen(p);
+      while (len > 0 && isspace((unsigned char)p[len - 1])) len--;
+      while (len > 0 && isspace((unsigned char)*p)) { p++; len--; }
+      s.assign(p, len);
       bool ok = false;
       try { ok = parse_smiles(s, &mol); } catch (...) { ok = false; }
       if (!ok) { bad[i] = 1; continue; }
       bad[i] = 0;
-      std::vector<uint64_t> bits;
+      bits.clear();
       if (kind == 0) morgan_bits(mol, radius, n_bits, &bits);
       else path_bits_dfs(mol, 1, 7, n_bits, 2, &bits);
       uint32_t* row = out + (size_t)i * words;
@@ -1144,16 +1269,17 @@ extern "C" int bbbp_fingerprints(const char** smiles, int n, int kind,
   std::atomic<int> next(0);
 
   auto worker = [&]() {
+    std::string s;
+    std::vector<uint64_t> bits;
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
       Mol mol;
-      std::string s(smiles[i]);
-      // trim whitespace
-      while (!s.empty() && isspace((unsigned char)s.back())) s.pop_back();
-      size_t st = 0;
-      while (st < s.size() && isspace((unsigned char)s[st])) st++;
-      s = s.substr(st);
+      const char* p = smiles[i];
+      size_t len = strlen(p);
+      while (len > 0 && isspace((unsigned char)p[len - 1])) len--;
+      while (len > 0 && isspace((unsigned char)*p)) { p++; len--; }
+      s.assign(p, len);
       bool ok = false;
       try { ok = parse_smiles(s, &mol); } catch (...) { ok = false; }
       if (!ok) { bad[i] = 1; continue; }
@@ -1163,7 +1289,7 @@ extern "C" int bbbp_fingerprints(const char** smiles, int n, int kind,
         keys::compute(mol, row);
         continue;
       }
-      std::vector<uint64_t> bits;
+      bits.clear();
       if (kind == 0) morgan_bits(mol, radius, n_bits, &bits);
       else path_bits_dfs(mol, 1, 7, n_bits, 2, &bits);
       for (uint64_t b : bits) row[b] = 1.0f;

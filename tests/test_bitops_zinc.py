@@ -100,3 +100,25 @@ class TestNativeMaccs:
                           use_native=False).features
         nat, bad = nb.fingerprints(smiles, "maccs")
         assert np.array_equal(py, nat) and bad == []
+
+
+class TestNativePathFallback:
+    def test_path_fp_large_molecule_fallback_matches_python(self):
+        # Molecules with >=255 bonds take the allocating std::set dedup path
+        # in path_bits_dfs (the packed-uint64 key only fits <255 bond
+        # indices); both branches must stay bit-exact with the Python
+        # reference implementation.
+        from bbbp_tpu.native import bindings as nb
+        from bbbp_tpu.chem.featurize import fingerprints
+
+        if not nb.available():
+            pytest.skip("native lib not built")
+        big = "C" * 300              # 299 bonds: fallback branch
+        ring = "C1" + "C" * 280 + "CCC1"  # macrocycle, also >255 bonds
+        small = "CC(=O)Oc1ccccc1C(=O)O"   # packed branch, same batch
+        smiles = [big, ring, small]
+        py = fingerprints(smiles, kind="rdkit", workers=1,
+                          use_native=False).features
+        nat, bad = nb.fingerprints(smiles, "rdkit")
+        assert bad == []
+        assert np.array_equal(py, nat)

@@ -37,3 +37,9 @@ if done_stage strict; then echo "queue10: strict already done, skipping"; else
   python -u scripts/round3_strict_only.py > /tmp/r3strict.log 2>&1
   echo "queue10: strict exited rc=$?"
 fi
+
+bash scripts/tpu_gate2.sh 7200 || exit 1
+if done_stage chunk_probe; then echo "queue10: chunk_probe already done, skipping"; else
+  python -u scripts/bench_chunk_probe.py > /tmp/r3chunk.log 2>&1
+  echo "queue10: chunk_probe exited rc=$?"
+fi

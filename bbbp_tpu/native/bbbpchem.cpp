@@ -1105,22 +1105,43 @@ static void compute(const Mol& m, float* out /* [167] */) {
   put(an); ge(an, 2);
   put(aromatic_z(m, 8)); put(aromatic_z(m, 16));
 
-  // bonded pairs
+  // bonded pairs — one histogram pass over bonds replaces ~41 count_bond
+  // scans; key packs (min_z, max_z, order), identical normalization to
+  // count_bond so lookups return the same counts
   const int S = BOND_SINGLE, D = BOND_DOUBLE, T = BOND_TRIPLE, A = BOND_AROMATIC;
+  auto cb_key = [](int z1, int z2, int order) -> uint32_t {
+    int lo = std::min(z1, z2), hi = std::max(z1, z2);
+    return ((uint32_t)lo << 16) | ((uint32_t)hi << 8) | (uint32_t)order;
+  };
+  thread_local std::vector<std::pair<uint32_t, int>> cb_tab;
+  cb_tab.clear();
+  for (auto& b : m.bonds) {
+    uint32_t k = cb_key(m.atoms[b.a1].z, m.atoms[b.a2].z, b.order);
+    bool hit = false;
+    for (auto& e : cb_tab)
+      if (e.first == k) { e.second++; hit = true; break; }
+    if (!hit) cb_tab.push_back({k, 1});
+  }
+  auto cb = [&](int z1, int z2, int order) -> int {
+    uint32_t k = cb_key(z1, z2, order);
+    for (auto& e : cb_tab)
+      if (e.first == k) return e.second;
+    return 0;
+  };
   int pair_specs[][3] = {
       {6,6,D},{6,6,T},{6,7,S},{6,7,D},{6,7,T},{6,8,S},{6,8,D},{7,7,S},{7,7,D},
       {7,8,S},{7,8,D},{8,8,S},{6,16,S},{6,16,D},{16,8,D},{16,8,S},{16,16,S},
       {6,9,S},{6,17,S},{6,35,S},{6,53,S},{6,15,S},{15,8,D},{15,8,S},{7,16,S},
       {7,15,S},{16,7,D},{6,6,A},{6,7,A},{6,8,A},{6,16,A},{7,7,A}};
-  for (auto& ps : pair_specs) put(count_bond(m, ps[0], ps[1], ps[2]));
-  ge(count_bond(m, 6, 8, D), 2);
-  ge(count_bond(m, 6, 7, S), 2);
-  ge(count_bond(m, 6, 8, S), 2);
-  ge(count_bond(m, 16, 8, D), 2);
-  ge(count_bond(m, 6, 6, D), 2);
-  ge(count_bond(m, 6, 6, A), 7);
-  ge(count_bond(m, 6, 6, A), 12);
-  put(count_bond(m, 7, 8, D) && count_z(m, {7}));
+  for (auto& ps : pair_specs) put(cb(ps[0], ps[1], ps[2]));
+  ge(cb(6, 8, D), 2);
+  ge(cb(6, 7, S), 2);
+  ge(cb(6, 8, S), 2);
+  ge(cb(16, 8, D), 2);
+  ge(cb(6, 6, D), 2);
+  ge(cb(6, 6, A), 7);
+  ge(cb(6, 6, A), 12);
+  put(cb(7, 8, D) && count_z(m, {7}));
 
   // three-atom motifs
   int motif_specs[][5] = {

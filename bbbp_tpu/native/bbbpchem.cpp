@@ -82,9 +82,17 @@ struct Mol {
   std::vector<std::vector<int>> nbr;   // atom -> bond indices
   std::vector<std::vector<int>> rings;
 
+  // reuse support: clear contents but keep allocated capacity (incl. the
+  // nbr inner vectors) so batch loops avoid ~n_atoms heap allocs per molecule
+  void reset() {
+    for (size_t i = 0; i < atoms.size() && i < nbr.size(); i++) nbr[i].clear();
+    atoms.clear();
+    bonds.clear();
+    rings.clear();
+  }
   int add_atom(const Atom& a) {
     atoms.push_back(a);
-    nbr.emplace_back();
+    if (nbr.size() < atoms.size()) nbr.emplace_back();  // else: reset() slot
     return (int)atoms.size() - 1;
   }
   bool add_bond(int a1, int a2, int order, int stereo) {
@@ -1254,10 +1262,11 @@ extern "C" int bbbp_fingerprints_packed(const char** smiles, int n, int kind,
   auto worker = [&]() {
     std::string s;
     std::vector<uint64_t> bits;
+    Mol mol;
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      Mol mol;
+      mol.reset();
       const char* p = smiles[i];
       size_t len = strlen(p);
       while (len > 0 && isspace((unsigned char)p[len - 1])) len--;
@@ -1292,10 +1301,11 @@ extern "C" int bbbp_fingerprints(const char** smiles, int n, int kind,
   auto worker = [&]() {
     std::string s;
     std::vector<uint64_t> bits;
+    Mol mol;
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      Mol mol;
+      mol.reset();
       const char* p = smiles[i];
       size_t len = strlen(p);
       while (len > 0 && isspace((unsigned char)p[len - 1])) len--;

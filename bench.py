@@ -23,11 +23,58 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 V5E_BF16_PEAK = 197e12   # TPU v5e per-chip peak bf16 FLOP/s
+
+
+def _supervise() -> int:
+    """Run the bench in a child process and retry on failure.
+
+    The axon TPU worker occasionally crashes/restarts mid-run (observed
+    ~monthly-rate per hour on this tunnel); a crash surfaces as a
+    JaxRuntimeError in whatever process holds the runtime handle and can wedge
+    that process's JAX state. Re-execing keeps each attempt hermetic: the
+    screening model is already cached after the first attempt, so a retry
+    costs seconds, and the driver still gets its ONE JSON metric line on
+    stdout as long as any attempt succeeds.
+    """
+    env = dict(os.environ, BENCH_CHILD="1")
+    last_out = ""
+    for attempt in range(3):
+        if attempt:
+            # wait for the worker to come back (historically ~3 min), probing
+            # health in a throwaway subprocess so a wedged probe can't hang us
+            for _ in range(10):
+                try:
+                    probe = subprocess.run(
+                        [sys.executable, "-c",
+                         "import jax, jax.numpy as jnp;"
+                         "assert float(jnp.ones((8, 8)).sum()) == 64.0"],
+                        capture_output=True, timeout=600)
+                    if probe.returncode == 0:
+                        break
+                except subprocess.TimeoutExpired:
+                    pass
+                time.sleep(90)
+        try:
+            p = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, timeout=3600)
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt {attempt + 1} timed out", file=sys.stderr)
+            continue
+        last_out = p.stdout.decode(errors="replace")
+        if p.returncode == 0 and '"metric"' in last_out:
+            sys.stdout.write(last_out)
+            return 0
+        print(f"# bench attempt {attempt + 1} failed rc={p.returncode}",
+              file=sys.stderr)
+    sys.stdout.write(last_out)
+    return 1
 
 
 def _ensure_native() -> None:
@@ -140,6 +187,8 @@ def _train_mfu_probe():
 
 
 def main() -> None:
+    if os.environ.get("BENCH_CHILD") != "1":
+        sys.exit(_supervise())
     n_mols = int(os.environ.get("BENCH_N_MOLS", "200000"))
     _ensure_native()
 

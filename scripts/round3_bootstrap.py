@@ -80,6 +80,17 @@ path = pretrain_aux(cfg_p, verbose=True)          # cache-keyed; skips if hit
 _, auc = load_warm_start(path)
 log(f"aux graph pretrain: AUC={auc:.4f} ({time.time()-t0:.0f}s) -> {path}")
 
+# ---- stage 4: cached screening model (bench.py + chunk probe need it) ------
+sm_path = os.path.join(CACHE, "screening_model.pkl")
+if not os.path.exists(sm_path):
+    from bbbp_tpu.pipelines.screen import train_default_model
+
+    t0 = time.time()
+    train_default_model(workers=1).save(sm_path)
+    log(f"screening model trained ({time.time()-t0:.0f}s) -> {sm_path}")
+else:
+    log("screening model cached")
+
 state = {}
 if os.path.exists(TUNED):
     with open(TUNED) as f:

@@ -107,6 +107,13 @@ class RegressionTrainConfig:
     cat_colsample: float = 1.0
     cat_lambda: float = 1.0
     tree_seeds: int = 3          # seed-bagged forests per fold
+    # extra GBDT legs on alternative fingerprint bit spaces (+ raw
+    # descriptors): estimate_fp_trees.py measured the morgan-bit tree leg as
+    # the largest single stack delta of round 3 (+0.0037 crossfit) — trees on
+    # a different bit space split differently, so the OOF errors decorrelate
+    # from the maccs-matrix forests. Features are raw bits + raw physchem
+    # descriptors (no fitted transforms), hence valid under every protocol.
+    fp_tree_legs: tuple = ()     # e.g. ("morgan",); leg name "gbdt_<kind>"
     tree_raw_fp: bool = False    # feed trees the raw wide fingerprint bits
                                  # instead of a PCA-256 compression (the
                                  # engine trains at any width since the
@@ -388,6 +395,7 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         leg_names.append("tkrr")
     if cfg.ckrr_leg:
         leg_names.append("ckrr")
+    leg_names += [f"gbdt_{k}" for k in cfg.fp_tree_legs]
     if transfer is not None:
         leg_names.append("transfer")
     oof = {m: np.zeros(n, np.float32) for m in leg_names}
@@ -531,6 +539,22 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         xt_global = _tree_features_global(data, raw_fp=cfg.tree_raw_fp)
         if transfer is not None:
             xt_global = np.concatenate([xt_global, transfer.features], axis=1)
+    # alternative-fingerprint tree matrices: raw bits + raw descriptors —
+    # label-independent and transform-free, so one global matrix serves every
+    # protocol (strict included)
+    fp_tree_mats = {}
+    if cfg.fp_tree_legs:
+        from bbbp_tpu.chem.featurize import fingerprints as _fps2
+        from bbbp_tpu.train.transfer import raw_transfer_features as _rtf
+
+        ft_desc, _, _ = _rtf(data.smiles, workers=cfg.workers)
+        for kind in cfg.fp_tree_legs:
+            bits = (_fps2(data.smiles, kind=kind, workers=cfg.workers
+                          ).features > 0).astype(np.float32)
+            fp_tree_mats[kind] = np.concatenate([bits, ft_desc], axis=1)
+            if verbose:
+                print(f"[regression] fp-tree leg gbdt_{kind}: "
+                      f"features {fp_tree_mats[kind].shape}")
     # repeated-CV averaging (config doc): repeat the whole fold loop on extra
     # splits and average the leg columns — honest/compat only
     n_rep = 1 if strict else max(1, cfg.split_repeats)
@@ -583,6 +607,18 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             tree_seed_acc["cat"][s, te] += p_cat / n_rep
         for m in ("rf", "gbdt", "cat"):
             oof_r[m][te] /= max(1, cfg.tree_seeds)
+        for kind, xk in fp_tree_mats.items():
+            for s in range(max(1, cfg.tree_seeds)):
+                gbk = GBDTRegressor(n_estimators=cfg.gbdt_trees,
+                                    learning_rate=cfg.gbdt_lr,
+                                    max_depth=cfg.gbdt_depth,
+                                    subsample=cfg.gbdt_subsample,
+                                    colsample=cfg.gbdt_colsample,
+                                    reg_lambda=cfg.gbdt_lambda,
+                                    seed=cfg.seed + i + 101 * s + 31 * rep
+                                    ).fit(xk[tr], y[tr])
+                oof_r[f"gbdt_{kind}"][te] += np.asarray(
+                    gbk.predict(xk[te])) / max(1, cfg.tree_seeds)
         if cfg.extra_legs:
             oof_r["knn"][te] = KNeighborsRegressor(10).fit(xt[tr], y[tr]).predict(xt[te])
             oof_r["ridge"][te] = Ridge(10.0).fit(xt[tr], y[tr]).predict(xt[te])
@@ -727,6 +763,9 @@ def main():
     ap.add_argument("--bert-pretrained", default=None,
                     help="MLM-pretrained dir (train.bert_pretrain)")
     ap.add_argument("--tree-seeds", type=int, default=3)
+    ap.add_argument("--fp-tree-legs", default="",
+                    help="comma-separated fp kinds for extra GBDT legs on "
+                         "raw bits + descriptors (e.g. 'morgan')")
     ap.add_argument("--nn-seeds", type=int, default=3)
     ap.add_argument("--compat-batch", type=int, default=None,
                     help="per-batch scaler quirk (implied by --protocol compat)")
@@ -743,6 +782,9 @@ def main():
                                 bert_leg=args.bert_leg,
                                 bert_pretrained_dir=args.bert_pretrained,
                                 tree_seeds=args.tree_seeds,
+                                fp_tree_legs=tuple(
+                                    k for k in args.fp_tree_legs.split(",")
+                                    if k),
                                 nn_seeds=args.nn_seeds,
                                 compat_batch=args.compat_batch,
                                 out_dir=args.out_dir, workers=args.workers)

@@ -1,7 +1,9 @@
 """Round-3 final push: the honest run with every measured micro-lever on —
 graph warm start (A/B KEEP), tuned NN, split_repeats=2 for the shallow legs,
 nn_split_mix (NN/graph replicas rotate splits), kernel_n_folds=50 (~LOO for
-the kernel-ridge legs via one full gram + host solves), transfer leg.
+the kernel-ridge legs via one full gram + host solves), transfer leg, and
+the morgan-bit GBDT leg (fp_tree_legs — estimate_fp_trees.py measured it as
+the round's largest stack delta, +0.0037 crossfit).
 
 Gate first: bash scripts/tpu_gate.sh && python -u scripts/round3_final_push.py
 """
@@ -45,6 +47,7 @@ cfg = RegressionTrainConfig(
     nn_seeds=4, graph_seeds=3, bert_seeds=3, tree_seeds=3,
     split_repeats=2, nn_split_mix=True, kernel_n_folds=50,
     meta="linear", transfer_leg=True, transfer_models=("tknn",),
+    fp_tree_legs=("morgan",),   # best measured round-3 lever
     out_dir=f"{OUT}/reg_maccs_honest_push")
 if "nn" in best:
     cfg.lr = float(best["nn"]["learning_rate"])

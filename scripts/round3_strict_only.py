@@ -41,6 +41,7 @@ cfg = RegressionTrainConfig(
     nn_seeds=4, graph_seeds=3, bert_seeds=3, tree_seeds=3,
     split_repeats=1, meta="linear", transfer_leg=True,
     transfer_models=("tknn",),
+    fp_tree_legs=("morgan",),   # transform-free features, strict-valid
     out_dir=f"{OUT}/reg_maccs_strict_r3")
 if "nn" in best:
     cfg.lr = float(best["nn"]["learning_rate"])

@@ -287,6 +287,26 @@ class TestRegressionPipeline:
                 >= res.report["meta_linear"]["r2"] - 1e-5)
 
 
+class TestFpTreeLegs:
+    def test_fp_tree_leg_column_in_stack(self):
+        """fp_tree_legs adds a gbdt_<kind> OOF column (raw bits + raw
+        descriptors, transform-free) that lands in the meta and report."""
+        from bbbp_tpu.train.regression import (RegressionTrainConfig,
+                                               run_regression)
+
+        d = _tiny_processed()
+        cfg = RegressionTrainConfig(
+            protocol="honest", n_folds=3, epochs=2, nn_seeds=1,
+            graph_leg=False, bert_leg=False, tree_seeds=1, snapshot_from=None,
+            rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8,
+            fp_tree_legs=("morgan",))
+        res = run_regression(cfg, data=d, verbose=False)
+        assert "gbdt_morgan" in res.oof
+        assert np.isfinite(res.oof["gbdt_morgan"]).all()
+        assert "gbdt_morgan" in res.report
+        assert np.isfinite(res.report["stacked"]["r2"])
+
+
 class TestBaselineGrid:
     def test_grid_stage_tunes_and_persists(self, tmp_path, monkeypatch):
         from bbbp_tpu.train import baseline as bl

@@ -25,6 +25,12 @@ def log(msg):
     print(f"[r3fp +{time.time()-T0:7.0f}s] {msg}", flush=True)
 
 
+# sentinel: the strict stage chains this push first (headline-first ordering,
+# round3_strict_only.py); queue12's own push stage then skips via this file
+if os.path.exists("/tmp/r3push.done"):
+    log("push already done this boot (sentinel /tmp/r3push.done); skipping")
+    sys.exit(0)
+
 import jax
 import jax.numpy as jnp
 
@@ -82,4 +88,6 @@ target = out if prev is None or new >= prev else \
 with open(target, "w") as f:
     json.dump(res.report, f, indent=1)
 log(f"push done: stacked R2={new:.4f} (prev committed {prev}) -> {target}")
+with open("/tmp/r3push.done", "w") as f:
+    f.write(f"{new:.4f}\n")
 log("PUSH DONE")

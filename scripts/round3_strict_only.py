@@ -21,6 +21,28 @@ def log(msg):
     print(f"[r3st +{time.time()-T0:7.0f}s] {msg}", flush=True)
 
 
+# ---- headline-first ordering: run the (crashed) honest push BEFORE strict --
+# queue11's fixed stage order is bench -> strict -> chunk; the push retry sits
+# behind all of it in queue12 and may not fit before round end. The push is
+# the headline artifact, so chain it here — BEFORE this process claims the
+# TPU tile (import jax below); the child owns the tunnel while it runs. The
+# sentinel makes queue12's own push stage a fast no-op afterwards.
+if not os.path.exists("/tmp/r3push.done"):
+    import subprocess
+
+    log("running the honest push first (headline artifact)...")
+    rc = subprocess.call(
+        [sys.executable, "-u", "/root/repo/scripts/round3_final_push.py"],
+        stdout=open("/tmp/r3push.log", "a"), stderr=subprocess.STDOUT)
+    log(f"push subprocess rc={rc}")
+    if rc != 0:
+        # one retry after a worker-recovery wait (crash pattern: ~3 min)
+        time.sleep(240)
+        rc = subprocess.call(
+            [sys.executable, "-u", "/root/repo/scripts/round3_final_push.py"],
+            stdout=open("/tmp/r3push.log", "a"), stderr=subprocess.STDOUT)
+        log(f"push subprocess retry rc={rc}")
+
 import jax
 import jax.numpy as jnp
 

@@ -400,6 +400,18 @@ def dense_to_tree_arrays(ens: DenseTreeEnsemble, background: np.ndarray):
     return trees
 
 
+# pad estimator fits to power-of-2 row buckets (floor 256) so nearby train
+# sizes reuse one compiled program; flip off to fit at exact row counts
+ROW_BUCKETING = True
+
+
+def _row_bucket(n: int) -> int:
+    b = 256
+    while b < n:
+        b <<= 1
+    return b
+
+
 class _TPUBase:
     def __init__(self, n_estimators=300, max_depth=6, learning_rate=0.1,
                  reg_lambda=1.0, min_child_weight=1.0, subsample=1.0,
@@ -435,10 +447,26 @@ class _TPUBase:
         # paying a new static row shape per subset (remote compiles are the
         # scarce resource on the tunnel).
         xb, edge_vals = self._prepare(x)
+        y_fit = np.asarray(y, np.float32)
         row_w = (None if sample_weight is None
                  else jnp.asarray(sample_weight, jnp.float32))
+        # ROW BUCKETING: pad the row axis to a power-of-2 bucket with
+        # weight-0 rows so fits at nearby train sizes (CV folds, learning
+        # curves, search subsets) share ONE compiled program per bucket —
+        # weight-0 rows are exactly neutral in the kernel (g/h and Poisson
+        # bootstrap weights all multiply row_w), so results match the
+        # unpadded fit; only the RNG realization of row subsampling differs.
+        n = int(xb.shape[0])
+        nb = _row_bucket(n) if ROW_BUCKETING else n
+        if nb != n:
+            xb = jnp.pad(xb, ((0, nb - n), (0, 0)))
+            y_fit = np.concatenate([y_fit, np.zeros(nb - n, np.float32)])
+            w = (np.ones(n, np.float32) if sample_weight is None
+                 else np.asarray(sample_weight, np.float32))
+            row_w = jnp.asarray(
+                np.concatenate([w, np.zeros(nb - n, np.float32)]))
         feats, thrs, leaves = fit_forest_launched(
-            xb, edge_vals, np.asarray(y, np.float32),
+            xb, edge_vals, y_fit,
             jnp.float32(self.learning_rate), jnp.float32(self.reg_lambda),
             jnp.float32(self.min_child_weight), jnp.float32(self.subsample),
             jnp.float32(self.colsample), jnp.float32(base_score),

@@ -121,6 +121,30 @@ class TestScreeningEndToEnd:
 
 
 class TestSampleWeight:
+    def test_row_bucketing_matches_exact_fit(self, monkeypatch):
+        """fits pad rows to a power-of-2 bucket with weight-0 rows so nearby
+        train sizes share one compiled program; the deterministic GBDT path
+        (subsample=1, no rf) must match the exact-shape fit bit-for-bit."""
+        from bbbp_tpu.ops import forest_tpu as ft
+
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(300, 5)).astype(np.float32)   # buckets to 512
+        y = (x[:, 0] + 0.5 * x[:, 2]).astype(np.float32)
+        q = rng.normal(size=(40, 5)).astype(np.float32)
+        kw = dict(n_estimators=20, max_depth=3, learning_rate=0.3, seed=2,
+                  subsample=1.0, colsample=1.0)
+        p_bucketed = ft.TPUGBDTRegressor(**kw).fit(x, y).predict(q)
+        monkeypatch.setattr(ft, "ROW_BUCKETING", False)
+        p_exact = ft.TPUGBDTRegressor(**kw).fit(x, y).predict(q)
+        np.testing.assert_allclose(p_bucketed, p_exact, rtol=1e-5, atol=1e-6)
+        # classifier path too (sigmoid gradients, padded rows weight-0)
+        yc = (y > 0).astype(np.float32)
+        monkeypatch.setattr(ft, "ROW_BUCKETING", True)
+        pc_b = ft.TPUGBDTClassifier(**kw).fit(x, yc).predict_proba(q)
+        monkeypatch.setattr(ft, "ROW_BUCKETING", False)
+        pc_e = ft.TPUGBDTClassifier(**kw).fit(x, yc).predict_proba(q)
+        np.testing.assert_allclose(pc_b, pc_e, rtol=1e-5, atol=1e-6)
+
     def test_zero_weight_rows_are_ignored(self):
         """fit(sample_weight=mask) on the full matrix must equal fit() on the
         subset — the mechanism that lets holdout fits reuse the full-shape

@@ -97,6 +97,23 @@ class TestTreeSHAP:
         phi = forest_shap_values(m, X[:30], max_samples=None)
         assert np.abs(phi[:, 0]).mean() > 10 * max(np.abs(phi[:, 1:]).mean(), 1e-9)
 
+    def test_vectorized_matches_scalar_oracle(self):
+        # the batched tree_shap_values must be numerically identical to the
+        # literal per-sample Lundberg Algorithm 2 (_tree_shap_values_scalar)
+        from bbbp_tpu.ops.forest import GBDTRegressor
+        from bbbp_tpu.reporting.attribution import (
+            _tree_shap_values_scalar, tree_shap_values)
+
+        X = rng.standard_normal((400, 8)).astype(np.float32)
+        y = (X[:, 0] * 2 - X[:, 3] ** 2 + X[:, 0] * X[:, 5]).astype(np.float32)
+        # depth 6 stresses repeated-feature unwind paths
+        m = GBDTRegressor(n_estimators=6, max_depth=6).fit(X, y)
+        xs = X[:17]
+        for t in m._host_trees:
+            np.testing.assert_allclose(
+                tree_shap_values(t, xs), _tree_shap_values_scalar(t, xs),
+                rtol=1e-9, atol=1e-12)
+
     def test_feature_importance(self):
         from bbbp_tpu.ops.forest import GBDTRegressor
         from bbbp_tpu.reporting.attribution import forest_feature_importance

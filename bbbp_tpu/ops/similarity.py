@@ -123,6 +123,40 @@ def minmax_matrix(qc: jnp.ndarray, rc: jnp.ndarray,
 
 
 @jax.jit
+def tanimoto_matrix_w(q: jnp.ndarray, r: jnp.ndarray,
+                      w: jnp.ndarray) -> jnp.ndarray:
+    """Per-bit-weighted Tanimoto on binary matrices:
+    K = Σ w_i a_i b_i / (Σ w_i a_i + Σ w_i b_i − Σ w_i a_i b_i).
+    Still one MXU matmul — the weight folds into the left operand; with
+    w = log(N/df) this is the IDF-weighted kernel (rare substructures count
+    more), measured +0.0014 crossfit R² over the unweighted combined kernel
+    (scripts/estimate_round3b.py lever 2)."""
+    qw = q * w[None, :]
+    inter = qw @ r.T
+    union = qw.sum(1, keepdims=True) + (r * w[None, :]).sum(1)[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def minmax_matrix_w(qc: jnp.ndarray, rc: jnp.ndarray, w: jnp.ndarray,
+                    levels: int = 16) -> jnp.ndarray:
+    """Per-bit-weighted min-max kernel on count vectors:
+    K = Σ w_i min(a_i,b_i) / Σ w_i max(a_i,b_i). The level decomposition of
+    minmax_matrix carries the weight through each bit-matmul (min/max are
+    1-homogeneous in the per-level indicators)."""
+    qc = jnp.minimum(qc, levels)
+    rc = jnp.minimum(rc, levels)
+    inter = jnp.zeros((qc.shape[0], rc.shape[0]), jnp.float32)
+    for t in range(1, levels + 1):
+        qa = (qc >= t).astype(jnp.float32) * w[None, :]
+        rb = (rc >= t).astype(jnp.float32)
+        inter = inter + qa @ rb.T
+    union = ((qc * w[None, :]).sum(1, keepdims=True)
+             + (rc * w[None, :]).sum(1)[None, :] - inter)
+    return inter / jnp.maximum(union, 1e-9)
+
+
+@jax.jit
 def rbf_matrix(qd: jnp.ndarray, rd: jnp.ndarray,
                gamma: jnp.ndarray) -> jnp.ndarray:
     """RBF kernel on dense descriptor vectors (pairwise distances via the
@@ -149,22 +183,46 @@ class ChemKernelRidge:
     train pairwise distance — per-fold fits are leak-free by construction."""
 
     def __init__(self, lam: float = 0.06,
-                 weights=(0.15, 0.2, 0.45, 0.2), levels: int = 16):
+                 weights=(0.15, 0.2, 0.45, 0.2), levels: int = 16,
+                 bit_weights=None):
         self.lam = lam
         self.weights = weights
         self.levels = levels
+        # optional per-bit weights (w_maccs, w_bits, w_counts) for the three
+        # fingerprint blocks — e.g. idf_weights() for IDF-weighted kernels
+        self.bit_weights = bit_weights
+
+    @staticmethod
+    def idf_weights(maccs, counts) -> tuple:
+        """IDF per-bit weights log(N / df) from the (label-independent)
+        document frequency of each substructure bit over the given rows —
+        valid to compute globally under the honest protocol for the same
+        reason full_gram is. Returns (w_maccs, w_bits, w_counts) with
+        w_counts sharing the binary-bits weights."""
+        mk = (np.asarray(maccs) > 0).astype(np.float64)
+        bt = (np.asarray(counts) > 0).astype(np.float64)
+        n = float(len(mk))
+        w_keys = np.log(n / np.maximum(mk.sum(0), 1.0)).astype(np.float32)
+        w_bits = np.log(n / np.maximum(bt.sum(0), 1.0)).astype(np.float32)
+        return (w_keys, w_bits, w_bits)
 
     def _kernel(self, q, r):
         qm, qb, qc, qd = q
         rm, rb, rc, rd = r
         w = self.weights
+        bw = self.bit_weights or (None, None, None)
         k = jnp.zeros((qm.shape[0], rm.shape[0]), jnp.float32)
         if w[0]:
-            k = k + w[0] * tanimoto_matrix(qm, rm)
+            k = k + w[0] * (tanimoto_matrix(qm, rm) if bw[0] is None else
+                            tanimoto_matrix_w(qm, rm, jnp.asarray(bw[0])))
         if w[1]:
-            k = k + w[1] * tanimoto_matrix(qb, rb)
+            k = k + w[1] * (tanimoto_matrix(qb, rb) if bw[1] is None else
+                            tanimoto_matrix_w(qb, rb, jnp.asarray(bw[1])))
         if w[2]:
-            k = k + w[2] * minmax_matrix(qc, rc, self.levels)
+            k = k + w[2] * (minmax_matrix(qc, rc, self.levels)
+                            if bw[2] is None else
+                            minmax_matrix_w(qc, rc, jnp.asarray(bw[2]),
+                                            self.levels))
         if w[3]:
             k = k + w[3] * rbf_matrix(qd, rd, self._gamma)
         return k

@@ -161,6 +161,9 @@ class RegressionTrainConfig:
     ckrr_leg: bool = True
     ckrr_lam: float = 0.06            # CPU tuning: OOF R2=0.638 at equal
     ckrr_weights: tuple = (0.25, 0.25, 0.25, 0.25)  # weights, flat landscape
+    ckrr_idf: bool = False            # IDF per-bit weights log(N/df) in the
+                                      # Tanimoto/minmax blocks — measured
+                                      # +0.0014 crossfit (estimate_round3b)
     # cross-task transfer: P(BBB+) columns from models trained on the
     # leak-screened classification set (train.transfer). Fold-independent
     # pure functions of structure -> appended to the tree/shallow-leg
@@ -419,6 +422,10 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         # independent of cfg.fp_kind (disk-cached by content hash)
         ck_desc, ck_maccs, ck_counts = raw_transfer_features(
             data.smiles, workers=cfg.workers)
+        # IDF bit weights are document frequencies — label-independent, so
+        # global like the grams themselves (ChemKernelRidge.full_gram doc)
+        ck_bw = (ChemKernelRidge.idf_weights(ck_maccs, ck_counts)
+                 if cfg.ckrr_idf else None)
 
     # fine-grained CV for the kernel-ridge legs: grams are label-independent,
     # so compute each FULL gram once (device matmuls) and run kernel_n_folds
@@ -429,8 +436,8 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         K_tk_full = TanimotoKernelRidge.full_gram(fp_bits)
     if fine_kernels and cfg.ckrr_leg:
         K_ck_full = ChemKernelRidge(
-            cfg.ckrr_lam, weights=tuple(cfg.ckrr_weights)).full_gram(
-            ck_maccs, ck_counts, ck_desc)
+            cfg.ckrr_lam, weights=tuple(cfg.ckrr_weights),
+            bit_weights=ck_bw).full_gram(ck_maccs, ck_counts, ck_desc)
 
     def _gram_cv_oof(K: np.ndarray, lam: float, folds_k) -> np.ndarray:
         out = np.zeros(n, np.float32)
@@ -630,7 +637,8 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                 fp_bits[tr], y[tr]).predict(fp_bits[te])
         if cfg.ckrr_leg and not fine_kernels:
             m = ChemKernelRidge(cfg.ckrr_lam,
-                                weights=tuple(cfg.ckrr_weights)).fit(
+                                weights=tuple(cfg.ckrr_weights),
+                                bit_weights=ck_bw).fit(
                 ck_maccs[tr], ck_counts[tr], ck_desc[tr], y[tr])
             oof_r["ckrr"][te] = m.predict(ck_maccs[te], ck_counts[te],
                                         ck_desc[te])

@@ -54,6 +54,8 @@ cfg = RegressionTrainConfig(
     split_repeats=2, nn_split_mix=True, kernel_n_folds=50,
     meta="linear", transfer_leg=True, transfer_models=("tknn",),
     fp_tree_legs=("morgan",),   # best measured round-3 lever
+    ckrr_idf=True,              # IDF-weighted chem kernels (+0.0014 cf,
+                                # scripts/estimate_round3b.py lever 2)
     out_dir=f"{OUT}/reg_maccs_honest_push")
 if "nn" in best:
     cfg.lr = float(best["nn"]["learning_rate"])

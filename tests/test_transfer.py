@@ -118,6 +118,58 @@ class TestChemKernelRidge:
         # identical rows => similarity 1 even with counts above the clip
         assert abs(float(minmax_matrix(a, b, 8)[0, 0]) - 1.0) < 1e-6
 
+    def test_weighted_kernels_match_numpy(self):
+        from bbbp_tpu.ops.similarity import (minmax_matrix_w,
+                                             tanimoto_matrix_w)
+
+        rng = np.random.default_rng(3)
+        a = (rng.random((12, 30)) < 0.3).astype(np.float32)
+        b = (rng.random((9, 30)) < 0.3).astype(np.float32)
+        w = rng.uniform(0.1, 3.0, 30).astype(np.float32)
+        got = np.asarray(tanimoto_matrix_w(a, b, w))
+        for i in (0, 11):
+            for j in (0, 8):
+                num = (w * a[i] * b[j]).sum()
+                den = (w * a[i]).sum() + (w * b[j]).sum() - num
+                assert abs(got[i, j] - num / max(den, 1e-9)) < 1e-5
+        ca = rng.integers(0, 6, (10, 30)).astype(np.float32)
+        cb = rng.integers(0, 6, (8, 30)).astype(np.float32)
+        got = np.asarray(minmax_matrix_w(ca, cb, w, 16))
+        for i in (0, 9):
+            for j in (0, 7):
+                num = (w * np.minimum(ca[i], cb[j])).sum()
+                den = (w * np.maximum(ca[i], cb[j])).sum()
+                assert abs(got[i, j] - num / den) < 1e-5
+        # unit weights reproduce the unweighted kernels
+        from bbbp_tpu.ops.similarity import minmax_matrix, tanimoto_matrix
+        ones = np.ones(30, np.float32)
+        np.testing.assert_allclose(np.asarray(tanimoto_matrix_w(a, b, ones)),
+                                   np.asarray(tanimoto_matrix(a, b)),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(minmax_matrix_w(ca, cb, ones)),
+                                   np.asarray(minmax_matrix(ca, cb)),
+                                   atol=1e-6)
+
+    def test_idf_weighted_ckrr_runs(self):
+        from bbbp_tpu.ops.similarity import ChemKernelRidge
+
+        rng = np.random.default_rng(5)
+        maccs = (rng.random((60, 40)) < 0.25).astype(np.float32)
+        counts = rng.integers(0, 5, (60, 50)).astype(np.float32)
+        desc = rng.normal(size=(60, 8)).astype(np.float32)
+        y = (desc[:, 0] + counts[:, :3].sum(1) * 0.1).astype(np.float32)
+        bw = ChemKernelRidge.idf_weights(maccs, counts)
+        assert bw[0].shape == (40,) and bw[1].shape == (50,)
+        assert np.all(bw[0] >= 0) and np.all(np.isfinite(bw[1]))
+        m = ChemKernelRidge(0.06, bit_weights=bw).fit(
+            maccs[:45], counts[:45], desc[:45], y[:45])
+        pred = m.predict(maccs[45:], counts[45:], desc[45:])
+        assert pred.shape == (15,) and np.all(np.isfinite(pred))
+        g = ChemKernelRidge(0.06, bit_weights=bw).full_gram(
+            maccs, counts, desc)
+        assert g.shape == (60, 60) and np.all(np.isfinite(g))
+        np.testing.assert_allclose(g, g.T, atol=1e-5)
+
     def test_combined_kernel_ridge_predicts(self):
         from bbbp_tpu.ops.similarity import ChemKernelRidge
 

@@ -23,3 +23,33 @@ FengDushuo/BBBP-Multi-Modal-Deep-Ensemble-Framework (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    Forest-family programs compile in 10–40 min over the remote-TPU tunnel
+    (results/RESULTS.md infrastructure notes); without a persistent cache
+    every process restart or crash-retry repays that. The cache key is the
+    HLO hash, so code changes can never be served stale executables. Env
+    ``JAX_COMPILATION_CACHE_DIR`` (or a pre-set config value) wins; backends
+    that cannot serialize executables just skip the cache with a warning.
+    """
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # explicit user choice
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # remote compiles are the pain point; cache anything nontrivial
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -43,8 +43,25 @@ def _enable_persistent_compile_cache() -> None:
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
+            # Namespace by a host-CPU fingerprint: XLA:CPU entries are AOT
+            # machine code keyed by HLO hash only, so an entry compiled on a
+            # host with different CPU features loads with a SIGILL-risk
+            # warning after a container migration. A per-host-generation
+            # subdirectory makes stale AOT code unreachable instead.
+            tag = "host"
+            try:
+                import hashlib
+
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            tag = hashlib.sha256(
+                                line.encode()).hexdigest()[:12]
+                            break
+            except OSError:
+                pass
             cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache")
+                os.path.abspath(__file__))), ".jax_cache", tag)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             # remote compiles are the pain point; cache anything nontrivial
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

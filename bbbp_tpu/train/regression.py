@@ -24,8 +24,9 @@ Protocols (SURVEY §2.3 quirks + ADVICE round-1 leakage findings):
   reported alongside.
 - ``strict``  — NO test-row influence anywhere: scaler/PCA/aux-PCA are re-fit
   per fold on train rows only (NN inputs via per-fold affine transforms inside
-  the batched loop — no K data copies), and the reported stacked metric is the
-  cross-fitted one.
+  the batched loop — no K data copies), the kernel legs re-fit every statistic
+  (descriptor scaler, RBF bandwidth, IDF weights) per fold, and the reported
+  stacked metric is the cross-fitted one.
 """
 
 from __future__ import annotations
@@ -140,13 +141,18 @@ class RegressionTrainConfig:
     tkrr_lam: float = 0.1
     kernel_n_folds: Optional[int] = None
                                   # finer CV split for the kernel-ridge legs
-                                  # (tkrr/ckrr) under honest/compat: the full
-                                  # gram is label-independent and computed
-                                  # once (device), so 50-fold (~LOO) costs
-                                  # only host sub-matrix solves. More train
-                                  # rows per fold -> measured +0.004 leg R2
-                                  # (scripts/estimate_folds_gain.py). Strict
-                                  # keeps the primary per-fold path.
+                                  # (tkrr/ckrr). honest/compat: the full gram
+                                  # is label-independent and computed once
+                                  # (device), so 50-fold (~LOO) costs only
+                                  # host sub-matrix solves. More train rows
+                                  # per fold -> measured +0.004 leg R2
+                                  # (scripts/estimate_folds_gain.py). strict:
+                                  # each fine fold re-fits EVERY statistic
+                                  # (descriptor scaler, RBF bandwidth, IDF
+                                  # weights, kernel solve) on its own train
+                                  # rows — one small gram+Cholesky per fold,
+                                  # still strict-valid because the kernels
+                                  # act on raw transform-free bits.
     nn_split_mix: bool = False    # NN/graph seed replicas rotate over
                                   # split_repeats different kfold splits
                                   # (replica 0 keeps the canonical split, so
@@ -423,18 +429,22 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
         ck_desc, ck_maccs, ck_counts = raw_transfer_features(
             data.smiles, workers=cfg.workers)
         # IDF bit weights are document frequencies — label-independent, so
-        # global like the grams themselves (ChemKernelRidge.full_gram doc)
+        # global under honest/compat like the grams themselves
+        # (ChemKernelRidge.full_gram doc). strict re-fits them per fold on
+        # train rows only (no test-row influence, by the strict definition).
         ck_bw = (ChemKernelRidge.idf_weights(ck_maccs, ck_counts)
-                 if cfg.ckrr_idf else None)
+                 if cfg.ckrr_idf and not strict else None)
 
-    # fine-grained CV for the kernel-ridge legs: grams are label-independent,
-    # so compute each FULL gram once (device matmuls) and run kernel_n_folds
-    # (~LOO at 50) as host sub-matrix solves — more train rows per fold
-    fine_kernels = bool(cfg.kernel_n_folds) and not strict
+    # fine-grained CV for the kernel-ridge legs: under honest/compat the
+    # grams are label-independent, so compute each FULL gram once (device
+    # matmuls) and run kernel_n_folds (~LOO at 50) as host sub-matrix solves
+    # — more train rows per fold. Under strict the per-fold fits happen in
+    # the fine loop itself (every fitted statistic from train rows only).
+    fine_kernels = bool(cfg.kernel_n_folds)
     K_tk_full = K_ck_full = None
-    if fine_kernels and cfg.tkrr_leg:
+    if fine_kernels and not strict and cfg.tkrr_leg:
         K_tk_full = TanimotoKernelRidge.full_gram(fp_bits)
-    if fine_kernels and cfg.ckrr_leg:
+    if fine_kernels and not strict and cfg.ckrr_leg:
         K_ck_full = ChemKernelRidge(
             cfg.ckrr_lam, weights=tuple(cfg.ckrr_weights),
             bit_weights=ck_bw).full_gram(ck_maccs, ck_counts, ck_desc)
@@ -636,9 +646,11 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             oof_r["tkrr"][te] = TanimotoKernelRidge(cfg.tkrr_lam).fit(
                 fp_bits[tr], y[tr]).predict(fp_bits[te])
         if cfg.ckrr_leg and not fine_kernels:
+            bw_i = (ChemKernelRidge.idf_weights(ck_maccs[tr], ck_counts[tr])
+                    if (strict and cfg.ckrr_idf) else ck_bw)
             m = ChemKernelRidge(cfg.ckrr_lam,
                                 weights=tuple(cfg.ckrr_weights),
-                                bit_weights=ck_bw).fit(
+                                bit_weights=bw_i).fit(
                 ck_maccs[tr], ck_counts[tr], ck_desc[tr], y[tr])
             oof_r["ckrr"][te] = m.predict(ck_maccs[te], ck_counts[te],
                                         ck_desc[te])
@@ -651,10 +663,44 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
       if fine_kernels:
           folds_k = kfold_indices(n, cfg.kernel_n_folds,
                                   cfg.seed + 7700 * rep)
-          if cfg.tkrr_leg:
-              oof_r["tkrr"] = _gram_cv_oof(K_tk_full, cfg.tkrr_lam, folds_k)
-          if cfg.ckrr_leg:
-              oof_r["ckrr"] = _gram_cv_oof(K_ck_full, cfg.ckrr_lam, folds_k)
+          if strict:
+              # strict-valid fine CV: per-fold model fits — every fitted
+              # statistic comes from that fold's TRAIN rows. The grams act
+              # on raw bits (no fitted transform), so this is one small
+              # gram + Cholesky per fold on device.
+              if cfg.tkrr_leg:
+                  out_k = np.zeros(n, np.float32)
+                  for te_k in folds_k:
+                      trm = np.ones(n, bool)
+                      trm[te_k] = False
+                      tr_k = np.arange(n)[trm]
+                      out_k[te_k] = TanimotoKernelRidge(cfg.tkrr_lam).fit(
+                          fp_bits[tr_k], y[tr_k]).predict(fp_bits[te_k])
+                  oof_r["tkrr"] = out_k
+              if cfg.ckrr_leg:
+                  out_k = np.zeros(n, np.float32)
+                  for te_k in folds_k:
+                      trm = np.ones(n, bool)
+                      trm[te_k] = False
+                      tr_k = np.arange(n)[trm]
+                      bw_k = (ChemKernelRidge.idf_weights(
+                                  ck_maccs[tr_k], ck_counts[tr_k])
+                              if cfg.ckrr_idf else None)
+                      mk = ChemKernelRidge(
+                          cfg.ckrr_lam, weights=tuple(cfg.ckrr_weights),
+                          bit_weights=bw_k).fit(
+                          ck_maccs[tr_k], ck_counts[tr_k], ck_desc[tr_k],
+                          y[tr_k])
+                      out_k[te_k] = mk.predict(
+                          ck_maccs[te_k], ck_counts[te_k], ck_desc[te_k])
+                  oof_r["ckrr"] = out_k
+          else:
+              if cfg.tkrr_leg:
+                  oof_r["tkrr"] = _gram_cv_oof(K_tk_full, cfg.tkrr_lam,
+                                               folds_k)
+              if cfg.ckrr_leg:
+                  oof_r["ckrr"] = _gram_cv_oof(K_ck_full, cfg.ckrr_lam,
+                                               folds_k)
       for m in rep_legs:
           rep_acc[m] += oof_r[m] / n_rep
     for m in rep_legs:

@@ -1,0 +1,72 @@
+"""Run bench.py N times (default 3) and record median/min/max throughput
+(VERDICT r3 item 4: the committed headline was a best-day number — 24.1k —
+that the driver's capture (16.8k) and the chunk probe (19-20k) both missed;
+tunnel-day variance is real, so the headline must carry a variance bar).
+
+Writes results/BENCH_VARIANCE.json: per-run metrics + median/min/max, and
+rewrites results/BENCH_DETAIL.json from the MEDIAN run so the committed
+detail matches the quoted headline.
+
+Usage: python -u scripts/round4_bench_variance.py [n_runs]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+OUT = "/root/repo/results"
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[r4bv +{time.time()-T0:7.0f}s] {msg}", flush=True)
+
+
+runs = []
+details = []
+for i in range(N):
+    log(f"bench run {i+1}/{N}")
+    p = subprocess.run([sys.executable, "-u", "/root/repo/bench.py"],
+                       capture_output=True, timeout=7200, text=True)
+    line = next((ln for ln in p.stdout.splitlines() if '"metric"' in ln), None)
+    if line is None:
+        log(f"run {i+1} FAILED rc={p.returncode}: {p.stderr[-300:]}")
+        continue
+    m = json.loads(line)
+    runs.append(m)
+    try:
+        with open(os.path.join(OUT, "BENCH_DETAIL.json")) as f:
+            details.append(json.load(f))
+    except OSError:
+        details.append({})
+    log(f"run {i+1}: {m['value']} mol/s/chip")
+
+if not runs:
+    log("no successful runs")
+    sys.exit(1)
+
+vals = sorted(r["value"] for r in runs)
+med = vals[len(vals) // 2] if len(vals) % 2 else (
+    vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2
+summary = {
+    "n_runs": len(runs),
+    "molecules_per_s_per_chip": {
+        "median": med, "min": vals[0], "max": vals[-1],
+        "all": [r["value"] for r in runs]},
+    "vs_baseline_median": round(med / (1_000_000.0 / 3600.0 / 8.0), 2),
+    "note": "single-session back-to-back runs; tunnel-day variance across "
+            "sessions is larger (r2 driver 7.5k, r3 driver 16.8k, r3 "
+            "builder probes 19-24k)",
+}
+with open(os.path.join(OUT, "BENCH_VARIANCE.json"), "w") as f:
+    json.dump(summary, f, indent=1)
+# BENCH_DETAIL = the median run's detail (headline-consistent)
+med_i = next(i for i, r in enumerate(runs) if r["value"] == med) \
+    if med in [r["value"] for r in runs] else len(runs) // 2
+if details[med_i]:
+    with open(os.path.join(OUT, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(details[med_i], f, indent=1)
+log(f"done: median {med} (min {vals[0]}, max {vals[-1]}) over {len(runs)} runs")

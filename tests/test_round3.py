@@ -287,6 +287,29 @@ class TestRegressionPipeline:
                 >= res.report["meta_linear"]["r2"] - 1e-5)
 
 
+class TestStrictFineKernels:
+    def test_strict_kernel_legs_fine_cv_per_fold_idf(self):
+        """Round-4: strict + kernel_n_folds runs the kernel legs as per-fold
+        fits (train-row-only scaler/bandwidth/IDF) and the legs land finite
+        in the stack; the headline metric stays the cross-fitted one."""
+        from bbbp_tpu.train.regression import (RegressionTrainConfig,
+                                               run_regression)
+
+        d = _tiny_processed()
+        cfg = RegressionTrainConfig(
+            protocol="strict", n_folds=3, epochs=2, nn_seeds=1,
+            graph_leg=False, bert_leg=False, tree_seeds=1, snapshot_from=None,
+            rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8,
+            kernel_n_folds=6, ckrr_idf=True, fp_tree_legs=("morgan",))
+        res = run_regression(cfg, data=d, verbose=False)
+        for m in ("tkrr", "ckrr", "tknn", "gbdt_morgan", "rf"):
+            assert m in res.oof and np.isfinite(res.oof[m]).all(), m
+        assert np.isfinite(res.report["stacked"]["r2"])
+        # strict headline == cross-fitted stack
+        assert res.report["stacked"]["r2"] == res.report[
+            "stacked_crossfit"]["r2"]
+
+
 class TestFpTreeLegs:
     def test_fp_tree_leg_column_in_stack(self):
         """fp_tree_legs adds a gbdt_<kind> OOF column (raw bits + raw

@@ -25,6 +25,27 @@ FengDushuo/BBBP-Multi-Modal-Deep-Ensemble-Framework (see SURVEY.md):
 __version__ = "0.1.0"
 
 
+def _prune_foreign_cache_entries(root: str, keep_tag: str) -> None:
+    """One-time hygiene for the persistent compile cache (ADVICE r3):
+    pre-namespacing jit_* entries stranded at the cache ROOT can never be
+    served again (the cache dir now always points at a fingerprint subdir),
+    and fingerprint subdirs from other host generations are unreachable by
+    construction — with 10-40 min compiles these are large, so delete both
+    instead of accumulating them across container migrations."""
+    import os
+    import shutil
+
+    try:
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if os.path.isfile(p) and name.startswith("jit_"):
+                os.unlink(p)
+            elif os.path.isdir(p) and name != keep_tag:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _enable_persistent_compile_cache() -> None:
     """Point JAX's persistent compilation cache at a repo-local directory.
 
@@ -48,20 +69,31 @@ def _enable_persistent_compile_cache() -> None:
             # host with different CPU features loads with a SIGILL-risk
             # warning after a container migration. A per-host-generation
             # subdirectory makes stale AOT code unreachable instead.
-            tag = "host"
-            try:
-                import hashlib
+            # Fingerprint: x86 Linux hashes the /proc/cpuinfo "flags" line
+            # (UNCHANGED from round 3 so existing populated caches keep
+            # their tag); aarch64 calls the line "Features" and non-/proc
+            # platforms fall back to platform.machine()/processor(), so
+            # those hosts get distinct namespaces too instead of a shared
+            # "host" dir (ADVICE r3).
+            import hashlib
+            import platform
 
+            feat = ""
+            try:
                 with open("/proc/cpuinfo") as f:
                     for line in f:
-                        if line.startswith("flags"):
-                            tag = hashlib.sha256(
-                                line.encode()).hexdigest()[:12]
+                        if line.startswith(("flags", "Features")):
+                            feat = line
                             break
             except OSError:
                 pass
-            cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache", tag)
+            if not feat.startswith("flags"):
+                feat += f"|{platform.machine()}|{platform.processor()}"
+            tag = hashlib.sha256(feat.encode()).hexdigest()[:12]
+            root = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache")
+            cache_dir = os.path.join(root, tag)
+            _prune_foreign_cache_entries(root, tag)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             # remote compiles are the pain point; cache anything nontrivial
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

@@ -13,7 +13,8 @@
 // Exposed C ABI:
 //   int bbbp_fingerprints(const char** smiles, int n, int kind, int n_bits,
 //                         int radius, float* out, int32_t* bad, int threads);
-//     kind: 0 = morgan, 1 = maccs (not yet; returns 2), 2 = path
+//     kind: 0 = morgan, 1 = maccs (structural keys, maccs_fingerprint below),
+//           2 = path
 //     out: row-major [n, dim], dim = n_bits
 //     bad[i] = 1 if SMILES i failed to parse (row left zero)
 

@@ -98,3 +98,32 @@ def graph_features(smiles: Sequence[str], max_atoms: int = 128,
     if edge_types:
         return feats, adj, adj_t, mask, bad
     return feats, adj, mask, bad
+
+
+def pooled_graph_features(smiles: Sequence[str], max_atoms: int = 128
+                          ) -> Tuple[np.ndarray, List[int]]:
+    """Per-molecule fixed-width descriptor from the atom-feature graph:
+    [sum-pool | mean-pool | max-pool] over atoms plus atom/bond counts.
+
+    This is the classification-side consumer contract for the reference's
+    DeepChem ConvMol atom features (``Descriptors/create_descriptors_gpu.py:26-29``,
+    saved as ``gpu_features.npy`` at ``:51`` and trained on by
+    ``Descriptors/model_train_gpu.py:127-137``). The reference keeps ragged
+    per-atom rows; pooling to one static [N, 3*F+2] matrix is the TPU-native
+    form — fixed shapes feed the scaler/PCA/model zoo directly with no
+    per-molecule dynamic dims.
+
+    Returns (features [N, 3*N_ATOM_FEATURES+2], bad_indices).
+    """
+    feats, _adj, mask, bad = graph_features(smiles, max_atoms=max_atoms)
+    n_atoms = mask.sum(axis=1, keepdims=True)           # [N, 1]
+    denom = np.maximum(n_atoms, 1.0)
+    s = feats.sum(axis=1)                                # [N, F]
+    m = s / denom
+    mx = np.where(mask[:, :, None] > 0, feats, -np.inf).max(axis=1)
+    mx = np.where(np.isfinite(mx), mx, 0.0)
+    # bond count proxy: off-diagonal adjacency entries / 2
+    n_bonds = (_adj.sum(axis=(1, 2)) - n_atoms[:, 0]) / 2.0
+    out = np.concatenate(
+        [s, m, mx, n_atoms, n_bonds[:, None]], axis=1).astype(np.float32)
+    return out, bad

@@ -74,6 +74,26 @@ def featurize_smi(path: str, out_dir: str = ".", kind: str = "morgan",
     return {"npy": npy, "csv": csv_path}
 
 
+def featurize_graph_b3db(dataset: str = "classification", out_dir: str = ".",
+                         max_atoms: int = 128,
+                         limit: Optional[int] = None) -> dict:
+    """Graph-descriptor featurization writing the ``gpu_features.npy``
+    contract (reference: Descriptors/create_descriptors_gpu.py:51 — DeepChem
+    ConvMol atom features per molecule; here pooled to one static-width row
+    per molecule, see chem.graph_features.pooled_graph_features)."""
+    from bbbp_tpu.chem.graph_features import pooled_graph_features
+
+    data = load_b3db_regression() if dataset == "regression" \
+        else load_b3db_classification()
+    smiles = data.smiles[:limit] if limit else data.smiles
+    os.makedirs(out_dir, exist_ok=True)
+    feats, bad = pooled_graph_features(smiles, max_atoms=max_atoms)
+    path = os.path.join(out_dir, "gpu_features.npy")
+    np.save(path, feats)
+    print(f"saved {path} {feats.shape} ({len(bad)} invalid quarantined)")
+    return {"npy": path, "bad_indices": bad}
+
+
 def main():
     ap = argparse.ArgumentParser(description="Featurization (L2)")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -89,10 +109,20 @@ def main():
     z.add_argument("--out-dir", default=".")
     z.add_argument("--kind", default="morgan")
     z.add_argument("--workers", type=int, default=None)
+    g = sub.add_parser("graph", help="pooled graph descriptors "
+                       "(gpu_features.npy contract)")
+    g.add_argument("--dataset", default="classification",
+                   choices=["regression", "classification"])
+    g.add_argument("--out-dir", default=".")
+    g.add_argument("--max-atoms", type=int, default=128)
+    g.add_argument("--limit", type=int, default=None)
     args = ap.parse_args()
     if args.cmd == "b3db":
         featurize_b3db(args.dataset, args.out_dir, tuple(args.kinds),
                        args.image_size, args.workers)
+    elif args.cmd == "graph":
+        featurize_graph_b3db(args.dataset, args.out_dir, args.max_atoms,
+                             args.limit)
     else:
         featurize_smi(args.path, args.out_dir, args.kind, workers=args.workers)
 

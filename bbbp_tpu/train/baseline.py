@@ -76,9 +76,20 @@ def run_baseline(cfg: BaselineConfig = BaselineConfig(),
     smiles, y = data.smiles, data.labels
     if cfg.limit:
         smiles, y = smiles[: cfg.limit], y[: cfg.limit]
-    fp = fingerprints(smiles, kind=cfg.fp_kind, workers=cfg.workers)
-    x = fp.features[fp.ok_mask]
-    y = y[fp.ok_mask]
+    if cfg.fp_kind == "graph":
+        # pooled graph descriptors (gpu_features.npy path): reference trains
+        # the same baseline zoo on DeepChem ConvMol atom features,
+        # Descriptors/model_train_gpu.py:127-137.
+        from bbbp_tpu.chem.graph_features import pooled_graph_features
+
+        feats, bad = pooled_graph_features(smiles)
+        ok = np.ones(len(smiles), dtype=bool)
+        ok[list(bad)] = False
+        x, y = feats[ok], y[ok]
+    else:
+        fp = fingerprints(smiles, kind=cfg.fp_kind, workers=cfg.workers)
+        x = fp.features[fp.ok_mask]
+        y = y[fp.ok_mask]
     x = np.asarray(StandardScaler().fit_transform(x))
     x = np.asarray(PCA(min(cfg.pca_dim, *x.shape)).fit_transform(x))
     rng = np.random.default_rng(cfg.seed)
@@ -163,7 +174,8 @@ def run_baseline(cfg: BaselineConfig = BaselineConfig(),
 
 def main():
     ap = argparse.ArgumentParser(description="Baseline 8-model comparison (A1)")
-    ap.add_argument("--fp-kind", default="morgan", choices=["morgan", "maccs", "rdkit"])
+    ap.add_argument("--fp-kind", default="morgan",
+                    choices=["morgan", "maccs", "rdkit", "graph"])
     ap.add_argument("--out-dir", default="baseline_output")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--no-curves", action="store_true")

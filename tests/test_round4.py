@@ -1,0 +1,63 @@
+"""Round-4 additions: pooled graph descriptors feeding the classification
+side (reference Descriptors/create_descriptors_gpu.py:26-51 +
+Descriptors/model_train_gpu.py:127-137 — the A2/A3 graph-feature variant)."""
+
+import os
+
+import numpy as np
+
+from bbbp_tpu.chem.graph_features import N_ATOM_FEATURES, graph_features, \
+    pooled_graph_features
+
+
+class TestPooledGraphFeatures:
+    def test_shape_and_pools_match_manual(self):
+        smiles = ["CCO", "c1ccccc1", "CC(=O)O"]
+        pooled, bad = pooled_graph_features(smiles, max_atoms=16)
+        assert pooled.shape == (3, 3 * N_ATOM_FEATURES + 2)
+        assert bad == []
+        feats, adj, mask, _ = graph_features(smiles, max_atoms=16)
+        f = N_ATOM_FEATURES
+        for i, s in enumerate(smiles):
+            n = int(mask[i].sum())
+            ref_sum = feats[i, :n].sum(axis=0)
+            np.testing.assert_allclose(pooled[i, :f], ref_sum, rtol=1e-5)
+            np.testing.assert_allclose(pooled[i, f:2 * f], ref_sum / n,
+                                       rtol=1e-5)
+            np.testing.assert_allclose(pooled[i, 2 * f:3 * f],
+                                       feats[i, :n].max(axis=0), rtol=1e-5)
+            assert pooled[i, 3 * f] == n  # atom count
+        # bond counts: ethanol 2, benzene 6, acetic acid 3
+        np.testing.assert_allclose(pooled[:, 3 * f + 1], [2.0, 6.0, 3.0])
+
+    def test_invalid_smiles_quarantined_row_zero(self):
+        pooled, bad = pooled_graph_features(["CCO", "not_a_smiles("],
+                                            max_atoms=16)
+        assert bad == [1]
+        # quarantined row must be finite (max pool over empty mask -> 0)
+        assert np.isfinite(pooled[1]).all()
+        assert pooled[1, :].sum() == 0.0
+
+    def test_featurize_graph_writes_gpu_features_contract(self, tmp_path):
+        from bbbp_tpu.pipelines.featurize import featurize_graph_b3db
+
+        out = featurize_graph_b3db("classification", str(tmp_path), limit=20)
+        assert os.path.basename(out["npy"]) == "gpu_features.npy"
+        arr = np.load(out["npy"])
+        assert arr.shape[0] + len(out["bad_indices"]) == 20
+        assert arr.shape[1] == 3 * N_ATOM_FEATURES + 2
+        assert np.isfinite(arr).all()
+
+    def test_baseline_runs_on_graph_features(self):
+        from bbbp_tpu.train.baseline import BaselineConfig, run_baseline
+
+        # limit=400 keeps both classes present (the TSV is label-ordered:
+        # the first ~250 rows are all BBB-)
+        rep = run_baseline(BaselineConfig(
+            fp_kind="graph", limit=400, pca_dim=20, tune=False,
+            with_learning_curves=False, models=("knn", "logreg")),
+            verbose=False)
+        assert set(rep) == {"knn", "logreg", "_best"}
+        for m in ("knn", "logreg"):
+            assert 0.0 <= rep[m]["accuracy"] <= 1.0
+            assert rep[m]["roc_auc"] > 0.5  # pooled features are informative

@@ -183,9 +183,15 @@ class ScreenStats:
 def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
            out_csv: Optional[str] = "virtual_screening_results.csv",
            chunk_size: int = 8192, workers: Optional[int] = None,
-           verbose: bool = False, mesh=None) -> ScreenStats:
-    """Stream screening with host featurization overlapped against device
-    inference (double-buffered producer thread).
+           verbose: bool = False, mesh=None,
+           pipeline_depth: int = 3) -> ScreenStats:
+    """Stream screening as a three-stage thread pipeline: featurize (C++
+    threads, GIL-released) → pad + H2D + async device dispatch → drain +
+    CSV write. Each stage hands off through a ``pipeline_depth``-bounded
+    queue, so on a remote-TPU tunnel the per-chunk transfer/dispatch RPCs
+    and the result fetch all overlap the host featurization instead of
+    serializing with it in one thread (round-3 bench: ~3s of device tail
+    was unhidden with the old 2-deep single-consumer loop).
 
     ``mesh``: optional jax.sharding.Mesh with a 'data' axis — each chunk's
     molecule axis shards across the mesh (weights replicate), so a v5e-8
@@ -214,32 +220,70 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
     n_total = 0
     n_bad = 0
 
-    q: Queue = Queue(maxsize=2)
+    q_feat: Queue = Queue(maxsize=pipeline_depth)
+    q_dev: Queue = Queue(maxsize=pipeline_depth)
     _END = object()
+    errors: List[BaseException] = []
 
     def producer():
         nonlocal feat_time, n_bad
-        for chunk in chunked(smiles_iter, chunk_size):
-            smiles = [c[0] for c in chunk]
-            ids = [c[1] for c in chunk]
-            t0 = time.time()
-            if packed_mode:
-                from bbbp_tpu.native import bindings as nb
+        try:
+            for chunk in chunked(smiles_iter, chunk_size):
+                smiles = [c[0] for c in chunk]
+                ids = [c[1] for c in chunk]
+                t0 = time.time()
+                if packed_mode:
+                    from bbbp_tpu.native import bindings as nb
 
-                feats, bad_list = nb.fingerprints_packed(
-                    smiles, model.fp_kind, model.n_bits)
-                bad_idx = np.asarray(bad_list, dtype=np.int64)
-            else:
-                res = featurize_fp(smiles, kind=model.fp_kind,
-                                   n_bits=model.n_bits, workers=workers)
-                feats, bad_idx = res.features, res.bad_indices
-            feat_time += time.time() - t0
-            n_bad += len(bad_idx)
-            q.put((smiles, ids, feats, bad_idx))
-        q.put(_END)
+                    feats, bad_list = nb.fingerprints_packed(
+                        smiles, model.fp_kind, model.n_bits)
+                    bad_idx = np.asarray(bad_list, dtype=np.int64)
+                else:
+                    res = featurize_fp(smiles, kind=model.fp_kind,
+                                       n_bits=model.n_bits, workers=workers)
+                    feats, bad_idx = res.features, res.bad_indices
+                feat_time += time.time() - t0
+                n_bad += len(bad_idx)
+                q_feat.put((smiles, ids, feats, bad_idx))
+        except BaseException as e:  # noqa: BLE001 — re-raised in main thread
+            errors.append(e)
+        finally:
+            q_feat.put(_END)
 
-    th = threading.Thread(target=producer, daemon=True)
-    th.start()
+    def dispatcher():
+        """Pad → H2D → async dispatch, off the drain thread: the transfer
+        RPC overlaps both featurization (GIL released in C++) and the
+        previous chunks' result fetch."""
+        nonlocal dev_time
+        try:
+            while True:
+                item = q_feat.get()
+                if item is _END:
+                    break
+                smiles, ids, feats, bad = item
+                t0 = time.time()
+                # pad to fixed chunk size: ONE compiled executable, all chunks
+                n_real = len(feats)
+                if n_real < chunk_size:
+                    feats = np.concatenate(
+                        [feats,
+                         np.zeros((chunk_size - n_real,) + feats.shape[1:],
+                                  feats.dtype)])
+                arr = jnp.asarray(feats)
+                if data_sharding is not None:
+                    arr = jax.device_put(arr, data_sharding)
+                fut = run(arr)   # async dispatch; never blocks on results
+                dev_time += time.time() - t0
+                q_dev.put((smiles, ids, bad, fut))
+        except BaseException as e:  # noqa: BLE001 — re-raised in main thread
+            errors.append(e)
+        finally:
+            q_dev.put(_END)
+
+    threads = [threading.Thread(target=producer, daemon=True),
+               threading.Thread(target=dispatcher, daemon=True)]
+    for th in threads:
+        th.start()
 
     writer = None
     fout = None
@@ -248,58 +292,30 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
         writer = csv.writer(fout)
         writer.writerow(["ID", "SMILES", "Prediction", "Probability"])
 
-    pending = []   # (smiles, ids, bad, device_future) — block only at drain
-    def drain(item):
-        nonlocal dev_time
+    def write_rows(smiles, ids, proba, bad):
+        bad_set = set(int(b) for b in bad)
+        writer.writerows(
+            [sid, smi, "invalid", ""] if i in bad_set else
+            [sid, smi, int(proba[i] > model.threshold), f"{proba[i]:.4f}"]
+            for i, (sid, smi) in enumerate(zip(ids, smiles)))
+
+    while True:
+        item = q_dev.get()
+        if item is _END:
+            break
         smiles, ids, bad, fut = item
         t0 = time.time()
         proba = np.asarray(fut)
         dev_time += time.time() - t0
-        return smiles, ids, proba, bad
-
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        smiles, ids, feats, bad = item
-        t0 = time.time()
-        # pad to the fixed chunk size: ONE compiled executable for all chunks
-        n_real = len(feats)
-        if n_real < chunk_size:
-            feats = np.concatenate(
-                [feats, np.zeros((chunk_size - n_real,) + feats.shape[1:],
-                                 feats.dtype)])
-        arr = jnp.asarray(feats)
-        if data_sharding is not None:
-            arr = jax.device_put(arr, data_sharding)
-        fut = run(arr)   # async dispatch; don't block here
-        dev_time += time.time() - t0
-        pending.append((smiles, ids, bad, fut))
-        if len(pending) < 2:
-            continue
-        smiles, ids, proba, bad = drain(pending.pop(0))
         n_total += len(smiles)
         if writer is not None:
-            bad_set = set(int(b) for b in bad)
-            for i, (sid, smi) in enumerate(zip(ids, smiles)):
-                if i in bad_set:
-                    writer.writerow([sid, smi, "invalid", ""])
-                else:
-                    p = float(proba[i])
-                    writer.writerow([sid, smi, int(p > model.threshold), f"{p:.4f}"])
-    for item in pending:
-        smiles, ids, proba, bad = drain(item)
-        n_total += len(smiles)
-        if writer is not None:
-            bad_set = set(int(b) for b in bad)
-            for i, (sid, smi) in enumerate(zip(ids, smiles)):
-                if i in bad_set:
-                    writer.writerow([sid, smi, "invalid", ""])
-                else:
-                    p = float(proba[i])
-                    writer.writerow([sid, smi, int(p > model.threshold), f"{p:.4f}"])
+            write_rows(smiles, ids, proba, bad)
+    for th in threads:
+        th.join()
     if fout is not None:
         fout.close()
+    if errors:
+        raise errors[0]
     return ScreenStats(n_total, n_bad, time.time() - t_start, feat_time, dev_time)
 
 

@@ -236,6 +236,9 @@ def main() -> None:
         "featurize_s": stats.featurize_s,
         "device_s": stats.device_s,
         "screen_device_busy_fraction": stats.device_s / max(stats.wall_s, 1e-9),
+        # overlap quality: 1.0 = device path fully hidden behind featurize
+        "screen_wall_over_featurize": stats.wall_s / max(stats.featurize_s,
+                                                         1e-9),
         "model_train_s_first_run": train_s,
         "n_invalid": stats.n_invalid,
         "feedstock": "B3DB real molecules cycled",

@@ -71,6 +71,9 @@ class ClassificationTrainConfig:
     # None = same as n_search_iter
     n_search_iter_forest: Optional[int] = None
     search_folds: int = 5
+    # repeated-CV selection: rank trials on the mean over this many fold
+    # seeds (1 = classic single-CV argmax). See batched_random_search.
+    search_repeats: int = 1
     # restrict which models get searched (None = all). The deep-forest
     # statics cost a one-time 10-40 min remote compile on the tunnel;
     # tune_models=("knn","logreg","svc","bnb","mlp","dt") tunes everything
@@ -192,7 +195,8 @@ def tune_zoo(x_tr: np.ndarray, y_tr: np.ndarray, names, cfg,
             n_iter=(forest_iter if m in ("dt", "rf", "gb", "xgb", "cat")
                     else cfg.n_search_iter),
             cv=cfg.search_folds, seed=cfg.seed, verbose=False,
-            extra_trials=[DEFAULT_TRIALS[m]] if m in DEFAULT_TRIALS else None)
+            extra_trials=[DEFAULT_TRIALS[m]] if m in DEFAULT_TRIALS else None,
+            n_repeats=getattr(cfg, "search_repeats", 1))
         walls[m] = time.time() - t0
         zoo[m] = _factory_from_params(m, res.best_params, cfg.seed)
         trials[m] = res.trials
@@ -404,8 +408,10 @@ def run_classification(cfg: ClassificationTrainConfig = ClassificationTrainConfi
                     plots.learning_curve_plot(
                         sizes, trs, vas,
                         os.path.join(d, f"{m}_learning_curve.png"))
-                except Exception:
-                    pass
+                except Exception as e:  # noqa: BLE001 — curves are artifacts,
+                    # not results; disclose instead of silently skipping
+                    print(f"[classification] learning curve for {m} "
+                          f"FAILED: {e!r}")
         for m in ("rf", "gb", "xgb", "cat"):
             if m in fitted:
                 try:
@@ -469,12 +475,16 @@ def main():
     ap.add_argument("--no-tune", action="store_true",
                     help="skip the per-model RandomizedSearchCV stage")
     ap.add_argument("--n-search-iter", type=int, default=50)
+    ap.add_argument("--search-repeats", type=int, default=1,
+                    help="repeated-CV selection: rank trials on the mean "
+                    "over this many fold seeds")
     args = ap.parse_args()
     cfg = ClassificationTrainConfig(fp_kind=args.fp_kind, protocol=args.protocol,
                                     pca_dim=args.pca_dim, workers=args.workers,
                                     out_dir=args.out_dir, resampler=args.resampler,
                                     tune=not args.no_tune,
-                                    n_search_iter=args.n_search_iter)
+                                    n_search_iter=args.n_search_iter,
+                                    search_repeats=args.search_repeats)
     res = run_classification(cfg)
     print(json.dumps(res.report, indent=2))
     if args.out:

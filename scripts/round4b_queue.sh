@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4b TPU queue: runs AFTER round4_queue.sh completes (waits for its
+# "ALL STAGES DONE" marker). One stage at a time — single tunnel discipline.
+#
+#   retune   — MACCS tuned rerun, repeated-CV selection  (VERDICT item 7)
+#   curves   — morgan/rdkit learning curves              (VERDICT item 5)
+#   graphbl  — tuned A1 baseline on graph descriptors    (VERDICT item 6)
+set -u
+cd /root/repo
+
+MAIN_LOG=/tmp/queue_r4.log
+LOG=/tmp/queue_r4b.log
+
+# wait (up to 8h) for the main queue to finish so we never share the tunnel
+for _ in $(seq 1 960); do
+  if grep -q "r4queue: ALL STAGES DONE" "$MAIN_LOG" 2>/dev/null; then break; fi
+  if ! kill -0 "$(cat /tmp/queue_r4.pid 2>/dev/null)" 2>/dev/null; then
+    echo "r4b: main queue process gone without DONE marker; proceeding"
+    break
+  fi
+  sleep 30
+done
+
+done_stage() {
+  grep -hq "r4b: $1 exited rc=0" "$LOG" 2>/dev/null
+}
+
+run_stage() {  # name, logfile, cmd...
+  local name=$1 logf=$2; shift 2
+  if done_stage "$name"; then echo "r4b: $name already done, skipping"; return 0; fi
+  bash scripts/tpu_gate2.sh 7200 || { echo "r4b: gate failed before $name"; return 1; }
+  "$@" > "$logf" 2>&1
+  local rc=$?
+  echo "r4b: $name exited rc=$rc"
+  if [ $rc -ne 0 ]; then
+    sleep 240
+    bash scripts/tpu_gate2.sh 7200 || { echo "r4b: gate failed before $name retry"; return 1; }
+    "$@" >> "$logf" 2>&1
+    rc=$?
+    echo "r4b: $name retry exited rc=$rc"
+    [ $rc -eq 0 ] && echo "r4b: $name exited rc=0"
+  fi
+  return $rc
+}
+
+run_stage retune  /tmp/r4retune.log  python -u scripts/round4_retune_maccs.py
+run_stage curves  /tmp/r4curves.log  python -u scripts/round4_curves.py
+run_stage graphbl /tmp/r4graphbl.log python -u scripts/round4_graph_baseline.py
+echo "r4b: ALL STAGES DONE"

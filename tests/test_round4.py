@@ -10,6 +10,30 @@ from bbbp_tpu.chem.graph_features import N_ATOM_FEATURES, graph_features, \
     pooled_graph_features
 
 
+class TestRepeatedCVSelection:
+    def test_repeats_average_and_report_spread(self):
+        from bbbp_tpu.train.batched_search import batched_random_search
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(160, 8)).astype(np.float32)
+        y = (x[:, 0] + 0.3 * rng.normal(size=160) > 0).astype(np.float32)
+        res1 = batched_random_search(
+            "logreg", x, y, {"l2": {"low": 1e-2, "high": 10.0, "log": True}},
+            n_iter=4, cv=3, seed=7, extra_trials=[{"l2": 1.0}], n_repeats=1)
+        res3 = batched_random_search(
+            "logreg", x, y, {"l2": {"low": 1e-2, "high": 10.0, "log": True}},
+            n_iter=4, cv=3, seed=7, extra_trials=[{"l2": 1.0}], n_repeats=3)
+        # same trial set either way (sampling is repeat-independent)
+        assert [t["l2"] for t in res1.trials] == [t["l2"] for t in res3.trials]
+        assert "repeat_std" not in res1.trials[0]
+        assert all("repeat_std" in t and t["repeat_std"] >= 0.0
+                   for t in res3.trials)
+        assert 0.5 <= res3.best_score <= 1.0
+        # the seeded default is a trial, so the winner is never mean-CV-worse
+        default = next(t for t in res3.trials if t["l2"] == 1.0)
+        assert res3.best_score >= default["mean_accuracy"]
+
+
 class TestPooledGraphFeatures:
     def test_shape_and_pools_match_manual(self):
         smiles = ["CCO", "c1ccccc1", "CC(=O)O"]

@@ -6,9 +6,14 @@ this image has a single CPU core, so host training is the bottleneck. Here the
 entire boosting loop runs in ONE jit on the TPU:
 
 - features are quantile-binned once on host (uint8, ≤64 bins);
-- per level, gradient/hessian histograms are computed as one-hot **matmuls**
-  — einsum('np,nq->pq') of the node-assignment one-hot against the
-  (feature×bin) one-hot — i.e. the MXU does the split search;
+- per level, gradient/hessian histograms come from one of two engines
+  (``hist`` static arg): ``scatter`` (default) — one fused segment_sum per
+  feature chunk, O(n·F) work, best for wide feature spaces; ``matmul`` —
+  einsum('nk,nm->km') of the (g,h)-weighted node-assignment one-hot against
+  the (feature×bin) one-hot, i.e. the MXU does the split search with ZERO
+  scatters, which makes vmapped (trial × fold) lane axes safe on this
+  platform (see SCATTER_SEGMENT_BUDGET) at O(n·F·B·nodes) FLOPs — only
+  worth it for narrow (post-PCA) matrices;
 - trees use an implicit full-binary layout (level l = 2^l nodes) so every
   shape is static; dead nodes degrade to always-go-left;
 - the scan over trees updates predictions in-place via the final node
@@ -117,8 +122,37 @@ def _dense_predict_route(feat, thr, leaf, x, depth, base_score, tree_scale):
 F_CHUNK = 256
 
 
+def _chunk_gains(gl, hl, mask_c, lam, min_child, oblivious, nodes, fc, B):
+    """Shared gain/argmax tail of one chunk's split search.
+    gl/hl: [nodes, FC, B] cumulative (over bins) gradient/hessian sums."""
+    tg = gl[:, :, -1:]
+    th = hl[:, :, -1:]
+    gr = tg - gl
+    hr = th - hl
+    gain = (gl ** 2 / (hl + lam) + gr ** 2 / (hr + lam)
+            - tg ** 2 / (th + lam))
+    valid = (hl >= min_child) & (hr >= min_child) & mask_c[None, :, None]
+    if oblivious:
+        # sum GAIN over nodes, counting unsplittable (node, f, b) entries
+        # as 0 rather than poisoning the whole level with -inf (real
+        # oblivious trees keep growing past unsplittable nodes); features
+        # invalid for EVERY node stay excluded
+        node_gain = jnp.where(valid & (gain > 0), gain, 0.0)
+        total = node_gain.sum(axis=0)                        # [FC, B]
+        total = jnp.where(valid.any(axis=0), total, -jnp.inf)
+        flat = total.reshape(fc * B)
+        best = jnp.argmax(flat)
+        bg = flat[best]
+        return (jnp.full((nodes,), bg), jnp.full((nodes,), best,
+                                                 dtype=jnp.int32))
+    flat_gain = jnp.where(valid, gain, -jnp.inf).reshape(nodes, fc * B)
+    best = jnp.argmax(flat_gain, axis=1)                     # [nodes]
+    bg = jnp.take_along_axis(flat_gain, best[:, None], axis=1)[:, 0]
+    return bg, best.astype(jnp.int32)
+
+
 def _grow_level(pos, xb_chunks, g, h, l, B, lam, min_child, col_mask_chunks,
-                oblivious):
+                oblivious, hist_mode: str = "scatter"):
     """One level of split search for all current nodes.
 
     pos: [n] node position within level (0..2^l)
@@ -126,55 +160,62 @@ def _grow_level(pos, xb_chunks, g, h, l, B, lam, min_child, col_mask_chunks,
     col_mask_chunks: [C, F_CHUNK] bool (False on padded features)
     returns (feat_l [2^l] GLOBAL feature ids, bin_l [2^l], has_split [2^l])
 
-    Exact f32 histograms via ONE fused segment_sum per chunk ((g, h) stacked
-    on a trailing axis) — O(n·F) work regardless of level width. The chunk
-    loop is a lax.map, so the HLO stays one map body no matter how wide the
-    feature space (50k+ features compile the same program), peak memory is
-    one [nodes, F_CHUNK, B] histogram pair, and the gain argmax reduces
-    per-chunk before a tiny [C] cross-chunk reduction. (The earlier
-    python-unrolled many-scatter form corrupted TPU-worker state beyond ~8
-    chunks×levels — a runtime buffer bug this structure avoids; see
-    tests/test_forest_tpu.py wide-feature regression test.)
+    Two histogram engines, same results:
+
+    ``scatter`` (default): exact f32 histograms via ONE fused segment_sum per
+    chunk ((g, h) stacked on a trailing axis) — O(n·F) work regardless of
+    level width. The chunk loop is a lax.map, so the HLO stays one map body
+    no matter how wide the feature space (50k+ features compile the same
+    program), peak memory is one [nodes, F_CHUNK, B] histogram pair, and the
+    gain argmax reduces per-chunk before a tiny [C] cross-chunk reduction.
+    (The earlier python-unrolled many-scatter form corrupted TPU-worker
+    state beyond ~8 chunks×levels — a runtime buffer bug this structure
+    avoids; see tests/test_forest_tpu.py wide-feature regression test.)
+
+    ``matmul``: SCATTER-FREE histograms on the MXU — the node-assignment
+    one-hot weighted by (g, h) [n, 2·nodes] contracts against the per-bin
+    one-hot [n, FC·B] in one f32 matmul. Costs O(n·F·B·nodes) FLOPs instead
+    of O(n·F) scattered adds, so it only pays for narrow feature spaces
+    (post-PCA search data, F ≤ a few hundred) — but it contains ZERO
+    scatters, so a vmapped (trial × fold) lane axis around it cannot hit
+    the platform's cumulative-scatter fault (SCATTER_SEGMENT_BUDGET below),
+    which is exactly what the batched hyperparameter search needs.
     """
     nodes = 1 << l
     n = pos.shape[0]
     fc = xb_chunks.shape[2]
-    local_off = (jnp.arange(fc, dtype=jnp.int32) * B)[None, :]   # [1, FC]
-    gh = jnp.stack([g, h], axis=1)                               # [n, 2]
 
-    def chunk_best(args):
-        xb_c, mask_c = args                                      # [n,FC], [FC]
-        keys = (pos[:, None] * (fc * B) + local_off + xb_c)      # [n, FC]
-        vals = jnp.broadcast_to(gh[:, None, :], (n, fc, 2)).reshape(-1, 2)
-        hist = jax.ops.segment_sum(vals, keys.ravel(),
-                                   num_segments=nodes * fc * B)
-        hist = hist.reshape(nodes, fc, B, 2)
-        gl = jnp.cumsum(hist[..., 0], axis=2)
-        hl = jnp.cumsum(hist[..., 1], axis=2)
-        tg = gl[:, :, -1:]
-        th = hl[:, :, -1:]
-        gr = tg - gl
-        hr = th - hl
-        gain = (gl ** 2 / (hl + lam) + gr ** 2 / (hr + lam)
-                - tg ** 2 / (th + lam))
-        valid = (hl >= min_child) & (hr >= min_child) & mask_c[None, :, None]
-        if oblivious:
-            # sum GAIN over nodes, counting unsplittable (node, f, b) entries
-            # as 0 rather than poisoning the whole level with -inf (real
-            # oblivious trees keep growing past unsplittable nodes); features
-            # invalid for EVERY node stay excluded
-            node_gain = jnp.where(valid & (gain > 0), gain, 0.0)
-            total = node_gain.sum(axis=0)                        # [FC, B]
-            total = jnp.where(valid.any(axis=0), total, -jnp.inf)
-            flat = total.reshape(fc * B)
-            best = jnp.argmax(flat)
-            bg = flat[best]
-            return (jnp.full((nodes,), bg), jnp.full((nodes,), best,
-                                                     dtype=jnp.int32))
-        flat_gain = jnp.where(valid, gain, -jnp.inf).reshape(nodes, fc * B)
-        best = jnp.argmax(flat_gain, axis=1)                     # [nodes]
-        bg = jnp.take_along_axis(flat_gain, best[:, None], axis=1)[:, 0]
-        return bg, best.astype(jnp.int32)
+    if hist_mode == "matmul":
+        a = jax.nn.one_hot(pos, nodes, dtype=jnp.float32)        # [n, nodes]
+        agh = jnp.concatenate([a * g[:, None], a * h[:, None]], axis=1)
+
+        def chunk_best(args):
+            xb_c, mask_c = args                                  # [n,FC], [FC]
+            oh = (xb_c[:, :, None]
+                  == jnp.arange(B, dtype=xb_c.dtype)[None, None, :])
+            oh = oh.reshape(n, fc * B).astype(jnp.float32)
+            hist = jnp.einsum("nk,nm->km", agh, oh,
+                              precision=jax.lax.Precision.HIGHEST)
+            hist = hist.reshape(2, nodes, fc, B)
+            gl = jnp.cumsum(hist[0], axis=2)
+            hl = jnp.cumsum(hist[1], axis=2)
+            return _chunk_gains(gl, hl, mask_c, lam, min_child, oblivious,
+                                nodes, fc, B)
+    else:
+        local_off = (jnp.arange(fc, dtype=jnp.int32) * B)[None, :]  # [1, FC]
+        gh = jnp.stack([g, h], axis=1)                               # [n, 2]
+
+        def chunk_best(args):
+            xb_c, mask_c = args                                  # [n,FC], [FC]
+            keys = (pos[:, None] * (fc * B) + local_off + xb_c)  # [n, FC]
+            vals = jnp.broadcast_to(gh[:, None, :], (n, fc, 2)).reshape(-1, 2)
+            hist = jax.ops.segment_sum(vals, keys.ravel(),
+                                       num_segments=nodes * fc * B)
+            hist = hist.reshape(nodes, fc, B, 2)
+            gl = jnp.cumsum(hist[..., 0], axis=2)
+            hl = jnp.cumsum(hist[..., 1], axis=2)
+            return _chunk_gains(gl, hl, mask_c, lam, min_child, oblivious,
+                                nodes, fc, B)
 
     bg_c, best_c = jax.lax.map(chunk_best, (xb_chunks, col_mask_chunks))
     # cross-chunk reduction: [C, nodes] -> per-node winning chunk
@@ -223,7 +264,7 @@ def _pad128(F: int) -> int:
 def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
                        colsample, base_score, key, row_w=None, preds0=None,
                        *, task: str, n_trees: int, depth: int,
-                       oblivious: bool, rf: bool):
+                       oblivious: bool, rf: bool, hist: str = "scatter"):
     """One jit: scan over trees, python-unrolled levels (static depth).
 
     Hyperparameters (lr, lam, ..., base_score, key) are TRACED so per-fold /
@@ -277,7 +318,9 @@ def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
             g = g * m * w_rows
             h = h * m * w_rows
         col_mask = jax.random.uniform(k3, (F,)) < colsample
-        col_mask = col_mask.at[jnp.argmax(col_mask)].set(True)  # ≥1 feature
+        # ensure ≥1 feature, scatter-free (a one-element .at[].set is a
+        # scatter — the vmapped matmul path must contain none)
+        col_mask = col_mask | (jnp.arange(F) == jnp.argmax(col_mask))
         col_mask_chunks = (jnp.pad(col_mask, (0, pad_f)) & pad_mask
                            ).reshape(n_chunks, fc)
 
@@ -286,18 +329,27 @@ def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
         pos = jnp.zeros((n,), jnp.int32)
         for l in range(depth):
             f_l, b_l, _ = _grow_level(pos, xb_chunks, g, h, l, B, lam,
-                                      min_child, col_mask_chunks, oblivious)
+                                      min_child, col_mask_chunks, oblivious,
+                                      hist_mode=hist)
             off = (1 << l) - 1
             feat_flat = jax.lax.dynamic_update_slice(feat_flat, f_l, (off,))
             bin_flat = jax.lax.dynamic_update_slice(bin_flat, b_l, (off,))
             xf = jnp.take_along_axis(xb_i, f_l[pos][:, None], axis=1)[:, 0]
             pos = 2 * pos + (xf > b_l[pos]).astype(jnp.int32)
 
-        gs = jax.ops.segment_sum(g, pos, num_segments=n_leaves)
-        hs = jax.ops.segment_sum(h, pos, num_segments=n_leaves)
+        if hist == "matmul":
+            oh_leaf = jax.nn.one_hot(pos, n_leaves, dtype=jnp.float32)
+            sums = jnp.einsum("nc,nl->cl", jnp.stack([g, h], axis=1), oh_leaf,
+                              precision=jax.lax.Precision.HIGHEST)
+            gs, hs = sums[0], sums[1]
+        else:
+            gs = jax.ops.segment_sum(g, pos, num_segments=n_leaves)
+            hs = jax.ops.segment_sum(h, pos, num_segments=n_leaves)
         leaf = -gs / (hs + lam)
-        if not rf:
-            preds = preds + lr * leaf[pos]
+        # accumulate predictions for RF too (scaled by 1/T at read time):
+        # the vmapped search path reads fold-validation predictions straight
+        # from preds_f instead of a separate traversal
+        preds = preds + (leaf[pos] if rf else lr * leaf[pos])
         thr_flat = edge_vals[feat_flat, bin_flat]
         return preds, (feat_flat, thr_flat, leaf)
 
@@ -312,21 +364,26 @@ def _fit_forest_device(xb, edge_vals, y, lr, lam, min_child, subsample,
 # and the PRNG key are traced, so per-fold refits hit the compile cache
 _fit_forest_jit = jax.jit(
     _fit_forest_device,
-    static_argnames=("task", "n_trees", "depth", "oblivious", "rf"),
+    static_argnames=("task", "n_trees", "depth", "oblivious", "rf", "hist"),
 )
 
 
 def fit_forest_launched(xb, edge_vals, y, lr, lam, min_child, subsample,
                         colsample, base_score, key, row_w=None, *, task: str,
                         n_trees: int, depth: int, oblivious: bool, rf: bool,
-                        lanes: int = 1):
+                        lanes: int = 1, hist: str = "scatter"):
     """Boosting/bagging fit split across program launches so each compiled
     program stays under SCATTER_SEGMENT_BUDGET (see comment above — crossing
     it corrupts the TPU worker). ``lanes`` scales the budget accounting for
-    vmapped callers (trials × folds). Returns (feats, thrs, leaves)."""
+    vmapped callers (trials × folds). ``hist='matmul'`` programs contain no
+    scatters at all, so the whole fit runs in one launch.
+    Returns (feats, thrs, leaves)."""
     n, F = (int(xb.shape[-2]), int(xb.shape[-1]))
-    per_tree = _tree_scan_segments(n, F, depth) * max(1, lanes)
-    chunk = max(1, int(SCATTER_SEGMENT_BUDGET // per_tree))
+    if hist == "matmul":
+        chunk = n_trees
+    else:
+        per_tree = _tree_scan_segments(n, F, depth) * max(1, lanes)
+        chunk = max(1, int(SCATTER_SEGMENT_BUDGET // per_tree))
     preds = jnp.full((n,), 1.0, jnp.float32) * jnp.float32(base_score)
     feats_l, thrs_l, leaves_l = [], [], []
     done = 0
@@ -337,7 +394,7 @@ def fit_forest_launched(xb, edge_vals, y, lr, lam, min_child, subsample,
         preds, feats, thrs, leaves = _fit_forest_jit(
             xb, edge_vals, y, lr, lam, min_child, subsample, colsample,
             base_score, k, row_w, preds, task=task, n_trees=t, depth=depth,
-            oblivious=oblivious, rf=rf)
+            oblivious=oblivious, rf=rf, hist=hist)
         feats_l.append(feats)
         thrs_l.append(thrs)
         leaves_l.append(leaves)

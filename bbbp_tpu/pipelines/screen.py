@@ -7,8 +7,8 @@ virtual_screening_results.csv), fed by zinc_download.py / create_descriptors_zin
 
 TPU redesign (SURVEY.md §3.5 / §7 step 7): the C++ featurizer fingerprints
 chunks on host threads while the previous chunk's scaler+PCA matmul and
-forest traversal run on-device under one jit; a double-buffered pipeline
-overlaps the two. Throughput target: ≥1M molecules/hour on v5e-8
+forest traversal run on-device under one jit; a three-stage thread pipeline
+(featurize → H2D+dispatch → drain) overlaps host and device work. Throughput target: ≥1M molecules/hour on v5e-8
 (= 34.7 mol/s/chip; BASELINE.json north star).
 """
 

@@ -19,6 +19,7 @@ and vmap each group over folds with traced (lr, lambda, subsample, colsample).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -240,6 +241,148 @@ def _knn_cv(x, y, tr_idx, va_idx, va_mask, ks: Sequence[int]):
     return np.asarray(accs), np.asarray(precs), np.asarray(f1s)
 
 
+def _forest_prep(x, y, folds):
+    """Shared search-time forest plumbing: bin once on ALL rows (transductive
+    ranking bins — see _forest_cv note), pad rows to a 1024 bucket and the
+    per-fold validation width to a 256 bucket, build per-fold train-row
+    weights. Returns a dict of device arrays + dims."""
+    from bbbp_tpu.ops.forest import BinMapper, MAX_BINS
+
+    x = np.asarray(x, np.float32)
+    y32 = np.asarray(y, np.float32)
+    n = len(y32)
+    mapper = BinMapper().fit(x)                       # edges from REAL rows
+    xb_real = mapper.transform(x)
+    F = x.shape[1]
+    n_pad = -n % 1024
+    xb = jnp.asarray(np.concatenate(
+        [xb_real, np.zeros((n_pad, F), xb_real.dtype)]) if n_pad else xb_real)
+    y32 = np.concatenate([y32, np.zeros(n_pad, np.float32)])
+    x_pad = (np.concatenate([x, np.zeros((n_pad, F), np.float32)])
+             if n_pad else x)
+    edge_vals = np.full((F, MAX_BINS), np.inf, dtype=np.float32)
+    for f, e in enumerate(mapper.edges_):
+        if len(e):
+            edge_vals[f, : len(e)] = e
+    tr_idx, va_idx, va_mask = padded_cv_arrays(n, folds)
+    v_pad = -va_idx.shape[1] % 256
+    if v_pad:
+        va_idx = np.concatenate(
+            [va_idx, np.zeros((len(folds), v_pad), va_idx.dtype)], axis=1)
+        va_mask = np.concatenate(
+            [va_mask, np.zeros((len(folds), v_pad), va_mask.dtype)], axis=1)
+    w_kn = np.zeros((len(folds), n + n_pad), np.float32)
+    for i in range(len(folds)):
+        w_kn[i][tr_idx[i]] = 1.0                      # wrap-pad dups collapse
+    return {"xb": xb, "edge_vals": jnp.asarray(edge_vals),
+            "y32": y32, "x_pad": x_pad, "w_kn": jnp.asarray(w_kn),
+            "va_idx": va_idx, "va_mask": va_mask, "n": n, "F": F}
+
+
+# --- vmapped (trial × fold) forest search ----------------------------------
+# The matmul histogram engine (ops.forest_tpu._grow_level hist_mode='matmul')
+# contains ZERO scatters, so a vmapped lane axis around it cannot hit the
+# platform's cumulative-scatter fault that forced forest trials sequential
+# (NOTE in _forest_cv). It costs O(B·nodes)× more FLOPs than the scattered
+# histogram, which only pays on narrow feature spaces — exactly the post-PCA
+# search matrices (F ≤ ~100). Off by default until the TPU probe
+# (scripts/round4_forest_vmap_probe.py) validates worker health + wall-clock.
+FOREST_VMAP = os.environ.get("BBBP_FOREST_VMAP", "0") == "1"
+FOREST_VMAP_MAX_F = 512       # matmul histograms pay only for narrow F
+FOREST_VMAP_LANE_BLOCK = 60   # lanes per launch (bounds the [L, nodes, F·B]
+                              # histogram + [L, n, leaves] one-hot temporaries)
+
+
+def _forest_cv_vmapped(x, y, folds, param_sets: List[Dict],
+                       classify: bool = True, verbose: bool = False):
+    """All (trial × fold) forest fits as vmapped lanes of ONE compiled
+    program per static-shape group (scatter-free 'matmul' histogram engine).
+    Fold-validation predictions come straight from the fit's final margins:
+    validation rows carry weight 0, so they never touch a histogram or leaf,
+    but the tree routing still assigns them positions — their accumulated
+    margin IS the out-of-fold prediction (no second traversal)."""
+    import functools as _ft
+
+    from bbbp_tpu.ops.forest_tpu import _fit_forest_device
+
+    prep = _forest_prep(x, y, folds)
+    K = len(folds)
+    V = prep["va_idx"].shape[1]
+    y_d = jnp.asarray(prep["y32"])
+    va_idx = jnp.asarray(prep["va_idx"])
+    va_mask = jnp.asarray(prep["va_mask"])
+    y_va = y_d[va_idx]                                        # [K, V]
+
+    if classify:
+        p0 = float(np.clip(prep["y32"][: prep["n"]].mean(), 1e-6, 1 - 1e-6))
+        base = float(np.log(p0 / (1 - p0)))
+    else:
+        base = float(prep["y32"][: prep["n"]].mean())
+
+    # group trials by their static shapes (one compile per group)
+    groups: Dict[Tuple, List[int]] = {}
+    for t, p in enumerate(param_sets):
+        statics = (bool(p.get("rf", False)), int(p.get("n_estimators", 300)),
+                   int(p.get("max_depth", 6)), bool(p.get("oblivious", False)))
+        groups.setdefault(statics, []).append(t)
+
+    acc = np.zeros(len(param_sets))
+    prec = np.zeros(len(param_sets))
+    f1 = np.zeros(len(param_sets))
+    score_fn = _masked_scores if classify else _masked_r2
+
+    for (rf, n_est, depth, obl), t_ids in groups.items():
+        base_t = 0.0 if rf else base
+        fit_one = _ft.partial(_fit_forest_device, task="cls" if classify
+                              else "reg", n_trees=n_est, depth=depth,
+                              oblivious=obl, rf=rf, hist="matmul")
+        #          xb    edges  y    lr lam mc  sub col base key roww preds0
+        in_axes = (None, None, None, 0, 0, None, 0, 0, None, 0, 0, None)
+        fit_v = jax.jit(jax.vmap(fit_one, in_axes=in_axes))
+        lanes = [(t, k) for t in t_ids for k in range(K)]
+        proba_lanes = np.zeros((len(lanes), V), np.float32)
+        for s in range(0, len(lanes), FOREST_VMAP_LANE_BLOCK):
+            blk = lanes[s: s + FOREST_VMAP_LANE_BLOCK]
+            ps = [param_sets[t] for t, _ in blk]
+            lr_b = jnp.asarray([p.get("learning_rate", 0.1) for p in ps],
+                               jnp.float32)
+            lam_b = jnp.asarray([p.get("reg_lambda", 1.0) for p in ps],
+                                jnp.float32)
+            sub_b = jnp.asarray([p.get("subsample", 1.0) for p in ps],
+                                jnp.float32)
+            col_b = jnp.asarray([p.get("colsample", 1.0) for p in ps],
+                                jnp.float32)
+            keys_b = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(0),
+                                                   t * 131 + k)
+                                for t, k in blk])
+            roww_b = prep["w_kn"][jnp.asarray([k for _, k in blk])]
+            preds_f, _, _, _ = fit_v(
+                prep["xb"], prep["edge_vals"], y_d, lr_b, lam_b,
+                jnp.float32(1.0), sub_b, col_b, jnp.float32(base_t),
+                keys_b, roww_b, None)
+            raw = preds_f / n_est if rf else preds_f
+            # per-lane fold-validation rows, straight from the fit margins
+            va_l = va_idx[jnp.asarray([k for _, k in blk])]       # [L, V]
+            raw_va = jnp.take_along_axis(raw, va_l, axis=1)       # [L, V]
+            if classify:
+                proba = (jnp.clip(raw_va, 0.0, 1.0) if rf
+                         else jax.nn.sigmoid(raw_va))
+            else:
+                proba = raw_va
+            proba_lanes[s: s + len(blk)] = np.asarray(proba)
+        # score per trial over its full [K, V] grid (pooled, as _forest_cv)
+        for j, t in enumerate(t_ids):
+            p_kv = jnp.asarray(proba_lanes[j * K: (j + 1) * K])
+            a, pr, f = score_fn(p_kv, y_va, va_mask)
+            acc[t] = float(a)
+            prec[t] = float(pr)
+            f1[t] = float(f)
+        if verbose:
+            print(f"[search] forest vmapped group rf={rf} T={n_est} d={depth} "
+                  f"obl={obl}: {len(t_ids)} trials x {K} folds", flush=True)
+    return acc, prec, f1
+
+
 def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
                verbose: bool = False):
     """Forest trials: (trial × fold) fits run through fit_forest_launched on
@@ -258,43 +401,22 @@ def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
     compile serves all three fingerprints' searches (remote compiles on the
     tunnel cost minutes; row padding costs microseconds of MXU time).
 
-    NOTE: a vmapped (trial × fold) lane axis around the histogram scatters
+    NOTE: a vmapped (trial × fold) lane axis around the histogram SCATTERS
     retriggers the platform's cumulative-scatter fault even under the
     per-launch budget (the batched-scatter lowering multiplies the counted
-    output in a way the budget model doesn't capture), so forest trials run
-    as sequential launched fits; the vmapped trial axis is reserved for the
-    scatter-free families (logreg/svc/bnb/mlp/knn)."""
-    from bbbp_tpu.ops.forest import BinMapper, MAX_BINS
+    output in a way the budget model doesn't capture), so scatter-engine
+    forest trials run as sequential launched fits. _forest_cv_vmapped above
+    batches the trials anyway by switching to the scatter-free 'matmul'
+    histogram engine (viable for the narrow post-PCA search matrices);
+    this sequential path remains the default and the wide-feature
+    fallback."""
     from bbbp_tpu.ops.forest_tpu import _dense_predict, fit_forest_launched
 
-    x = np.asarray(x, np.float32)
-    y32 = np.asarray(y, np.float32)
-    n = len(y32)
-    mapper = BinMapper().fit(x)                       # edges from REAL rows
-    xb_real = mapper.transform(x)
-    F = x.shape[1]
-    n_pad = -n % 1024
-    xb = jnp.asarray(np.concatenate(
-        [xb_real, np.zeros((n_pad, F), xb_real.dtype)]) if n_pad else xb_real)
-    y32 = np.concatenate([y32, np.zeros(n_pad, np.float32)])
-    x_pad = (np.concatenate([x, np.zeros((n_pad, F), np.float32)])
-             if n_pad else x)
-    edge_vals = np.full((F, MAX_BINS), np.inf, dtype=np.float32)
-    for f, e in enumerate(mapper.edges_):
-        if len(e):
-            edge_vals[f, : len(e)] = e
-    edge_vals = jnp.asarray(edge_vals)
-    tr_idx, va_idx, va_mask = padded_cv_arrays(n, folds)
-    v_pad = -va_idx.shape[1] % 256
-    if v_pad:
-        va_idx = np.concatenate(
-            [va_idx, np.zeros((len(folds), v_pad), va_idx.dtype)], axis=1)
-        va_mask = np.concatenate(
-            [va_mask, np.zeros((len(folds), v_pad), va_mask.dtype)], axis=1)
-    w_kn = np.zeros((len(folds), n + n_pad), np.float32)
-    for i in range(len(folds)):
-        w_kn[i][tr_idx[i]] = 1.0                      # wrap-pad dups collapse
-    w_kn_d = jnp.asarray(w_kn)
+    prep = _forest_prep(x, y, folds)
+    xb, edge_vals = prep["xb"], prep["edge_vals"]
+    y32, n = prep["y32"], prep["n"]
+    va_idx, va_mask = prep["va_idx"], prep["va_mask"]
+    w_kn_d = prep["w_kn"]
 
     acc = np.zeros(len(param_sets))
     prec = np.zeros(len(param_sets))
@@ -305,7 +427,7 @@ def _forest_cv(x, y, folds, param_sets: List[Dict], classify: bool = True,
     else:
         base = float(y32[:n].mean())                  # real rows only
     y_d = jnp.asarray(y32)
-    x_va_d = jnp.asarray(x_pad[va_idx])               # [K, V, F]
+    x_va_d = jnp.asarray(prep["x_pad"][va_idx])       # [K, V, F]
     y_va = y_d[jnp.asarray(va_idx)]
 
     score_jit = jax.jit(_dense_predict, static_argnums=(4,))
@@ -405,8 +527,11 @@ def _score_param_sets(model_name: str, x: np.ndarray, y: np.ndarray,
         ks = [int(p["n_neighbors"]) for p in params]
         acc, prec, f1 = _knn_cv(x, y, tr_idx, va_idx, va_mask, ks)
     elif model_name in ("dt", "rf", "gb", "xgb", "cat"):
-        acc, prec, f1 = _forest_cv(x, y, folds, params, classify=True,
-                                   verbose=verbose)
+        cv_fn = (_forest_cv_vmapped
+                 if FOREST_VMAP and x.shape[1] <= FOREST_VMAP_MAX_F
+                 else _forest_cv)
+        acc, prec, f1 = cv_fn(x, y, folds, params, classify=True,
+                              verbose=verbose)
     else:
         raise ValueError(f"no batched search kernel for {model_name!r}")
     return acc, prec, f1

@@ -10,6 +10,105 @@ from bbbp_tpu.chem.graph_features import N_ATOM_FEATURES, graph_features, \
     pooled_graph_features
 
 
+class TestMatmulHistogramEngine:
+    """hist='matmul' is the scatter-free MXU histogram path (forest_tpu);
+    it must reproduce the scatter engine's forests."""
+
+    def _data(self, n=400, f=12, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, f)).astype(np.float32)
+        y_reg = (x[:, 0] * 2 - x[:, 1] + 0.1 * rng.normal(size=n)
+                 ).astype(np.float32)
+        y_cls = (y_reg > 0).astype(np.float32)
+        return x, y_reg, y_cls
+
+    def test_gbdt_matmul_matches_scatter(self):
+        import jax
+        import jax.numpy as jnp
+        from bbbp_tpu.ops.forest import BinMapper, MAX_BINS
+        from bbbp_tpu.ops.forest_tpu import (DenseTreeEnsemble,
+                                             fit_forest_launched)
+
+        x, y_reg, _ = self._data()
+        mapper = BinMapper().fit(x)
+        xb = jnp.asarray(mapper.transform(x))
+        edge_vals = np.full((x.shape[1], MAX_BINS), np.inf, np.float32)
+        for f_i, e in enumerate(mapper.edges_):
+            edge_vals[f_i, : len(e)] = e
+        out = {}
+        for mode in ("scatter", "matmul"):
+            feats, thrs, leaves = fit_forest_launched(
+                xb, jnp.asarray(edge_vals), jnp.asarray(y_reg),
+                jnp.float32(0.1), jnp.float32(1.0), jnp.float32(1.0),
+                jnp.float32(1.0), jnp.float32(1.0),
+                jnp.float32(float(y_reg.mean())), jax.random.PRNGKey(0),
+                task="reg", n_trees=20, depth=4, oblivious=False, rf=False,
+                hist=mode)
+            ens = DenseTreeEnsemble(feats, thrs, leaves, 4,
+                                    float(y_reg.mean()), 0.1)
+            out[mode] = (np.asarray(feats), np.asarray(thrs),
+                         np.asarray(ens.raw_predict(jnp.asarray(x))))
+        # early trees (large, well-separated gains) split identically; late
+        # trees fit near-zero residuals where f32 summation-order ties can
+        # flip an argmax (observed first at tree 13 on this data) — so
+        # require structural equality early and prediction-level agreement
+        # end to end
+        np.testing.assert_array_equal(out["scatter"][0][:8],
+                                      out["matmul"][0][:8])
+        np.testing.assert_allclose(out["scatter"][1][:8],
+                                   out["matmul"][1][:8])
+        np.testing.assert_allclose(out["scatter"][2], out["matmul"][2],
+                                   atol=0.05)
+
+    def test_vmapped_forest_search_matches_sequential(self):
+        from bbbp_tpu.train.batched_search import (_forest_cv,
+                                                   _forest_cv_vmapped)
+        from bbbp_tpu.train.search import stratified_kfold_indices
+
+        x, _, y_cls = self._data(n=300)
+        folds = stratified_kfold_indices(y_cls, 3, 7)
+        params = [
+            {"n_estimators": 30, "max_depth": 4, "learning_rate": 0.1,
+             "subsample": 1.0},
+            {"n_estimators": 30, "max_depth": 4, "learning_rate": 0.05,
+             "subsample": 1.0},
+            {"rf": True, "n_estimators": 30, "max_depth": 4,
+             "colsample": 1.0, "reg_lambda": 1e-6},
+        ]
+        a_s, p_s, f_s = _forest_cv(x, y_cls, folds, params, classify=True)
+        a_v, p_v, f_v = _forest_cv_vmapped(x, y_cls, folds, params,
+                                           classify=True)
+        # same trees (same keys, same splits) -> same pooled scores; the
+        # only numeric difference is the histogram summation order
+        np.testing.assert_allclose(a_s, a_v, atol=0.02)
+        np.testing.assert_allclose(f_s, f_v, atol=0.02)
+
+    def test_rf_prediction_accumulation(self):
+        # rf mode now accumulates leaf margins into preds (vmapped search
+        # reads OOF predictions straight from the fit); mean must track y
+        import jax
+        import jax.numpy as jnp
+        from bbbp_tpu.ops.forest import BinMapper, MAX_BINS
+        from bbbp_tpu.ops.forest_tpu import _fit_forest_jit
+
+        x, y_reg, _ = self._data(n=256)
+        mapper = BinMapper().fit(x)
+        xb = jnp.asarray(mapper.transform(x))
+        edge_vals = np.full((x.shape[1], MAX_BINS), np.inf, np.float32)
+        for f_i, e in enumerate(mapper.edges_):
+            edge_vals[f_i, : len(e)] = e
+        n_trees = 25
+        preds, _, _, _ = _fit_forest_jit(
+            xb, jnp.asarray(edge_vals), jnp.asarray(y_reg), jnp.float32(1.0),
+            jnp.float32(1e-6), jnp.float32(1.0), jnp.float32(1.0),
+            jnp.float32(1.0), jnp.float32(0.0), jax.random.PRNGKey(0),
+            None, None, task="reg", n_trees=n_trees, depth=4,
+            oblivious=False, rf=True, hist="matmul")
+        pred = np.asarray(preds) / n_trees
+        r2 = 1 - ((pred - y_reg) ** 2).sum() / ((y_reg - y_reg.mean()) ** 2).sum()
+        assert r2 > 0.7
+
+
 class TestRepeatedCVSelection:
     def test_repeats_average_and_report_spread(self):
         from bbbp_tpu.train.batched_search import batched_random_search

@@ -66,6 +66,8 @@ class BaselineConfig:
     # batched on device. tune_models=None tunes every model in `models`.
     tune: bool = True
     grid_folds: int = 5
+    # repeated-CV grid selection (batched_grid_search n_repeats)
+    grid_repeats: int = 1
     tune_models: Optional[Tuple[str, ...]] = None
 
 
@@ -107,7 +109,8 @@ def run_baseline(cfg: BaselineConfig = BaselineConfig(),
         for name in to_tune:
             res = batched_grid_search(name, x[tr], y[tr], GRID_SPACES[name],
                                       cv=cfg.grid_folds, seed=cfg.seed,
-                                      scoring="f1")
+                                      scoring="f1",
+                                      n_repeats=cfg.grid_repeats)
             zoo[name] = _factory_from_params(name, res.best_params, cfg.seed)
             best_params[name] = {**res.best_params,
                                  "cv_f1": float(res.best_score)}

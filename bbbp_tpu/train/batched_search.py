@@ -593,16 +593,25 @@ def batched_random_search(model_name: str, x: np.ndarray, y: np.ndarray,
 def batched_grid_search(model_name: str, x: np.ndarray, y: np.ndarray,
                         grid: Dict[str, Sequence], cv: int = 5,
                         seed: int = 42, verbose: bool = False,
-                        scoring: str = "f1") -> BatchedSearchResult:
+                        scoring: str = "f1",
+                        n_repeats: int = 1) -> BatchedSearchResult:
     """GridSearchCV on the batched (trial × fold) device axes — the A1
     baseline's per-model tuning stage (reference Models/model.py:136-199:
     GridSearchCV(cv=5, scoring='f1') per model). The full Cartesian product
-    of ``grid`` becomes the trial axis; same kernels as the random search."""
+    of ``grid`` becomes the trial axis; same kernels as the random search.
+    ``n_repeats``: repeated-CV selection, as in batched_random_search."""
     import itertools
 
     keys = list(grid.keys())
     params = [dict(zip(keys, combo))
               for combo in itertools.product(*(grid[k] for k in keys))]
-    acc, prec, f1 = _score_param_sets(model_name, x, y, params, cv, seed,
-                                      verbose)
-    return _rank_and_wrap(model_name, params, acc, prec, f1, scoring, verbose)
+    reps = [_score_param_sets(model_name, x, y, params, cv, seed + 9973 * r,
+                              verbose) for r in range(max(n_repeats, 1))]
+    acc = np.mean([r[0] for r in reps], axis=0)
+    prec = np.mean([r[1] for r in reps], axis=0)
+    f1 = np.mean([r[2] for r in reps], axis=0)
+    key_idx = {"accuracy": 0, "precision": 1, "f1": 2}[scoring]
+    rep_std = (np.std([r[key_idx] for r in reps], axis=0)
+               if len(reps) > 1 else None)
+    return _rank_and_wrap(model_name, params, acc, prec, f1, scoring, verbose,
+                          rep_std=rep_std)

@@ -171,7 +171,7 @@ def hyperparam_search_plots(trials: List[Dict], prefix: str,
     if not trials:
         return []
     num_keys = [k for k in trials[0]
-                if not k.startswith("mean_")
+                if not k.startswith("mean_") and k != "repeat_std"
                 and isinstance(trials[0][k], (int, float))
                 and len({float(t[k]) for t in trials}) > 1]
     out = []

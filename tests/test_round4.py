@@ -109,6 +109,30 @@ class TestMatmulHistogramEngine:
         assert r2 > 0.7
 
 
+class TestReferenceStackMeta:
+    def test_refstack_memorizes_in_sample(self):
+        """The reference's meta (forest stack over the OOF matrix, predicted
+        in-sample, Models/...20250113.py:394-403) must beat the linear
+        in-sample meta — that memorization is exactly what it reproduces."""
+        from bbbp_tpu.ops.linear import LinearRegression
+        from bbbp_tpu.train.regression import _reference_stack_meta
+
+        rng = np.random.default_rng(0)
+        n = 200
+        y = rng.normal(size=n).astype(np.float32)
+        # three "leg OOF columns": y + independent noise
+        stack_x = np.stack([y + 0.8 * rng.normal(size=n) for _ in range(3)],
+                           axis=1).astype(np.float32)
+
+        def r2(p):
+            return 1 - ((y - p) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+
+        lin = LinearRegression().fit(stack_x, y).predict(stack_x)
+        rs = _reference_stack_meta(stack_x, y, seed=0, n_estimators=40,
+                                   depth=6, cv=3)
+        assert r2(rs) > r2(lin) + 0.05
+
+
 class TestRepeatedCVSelection:
     def test_repeats_average_and_report_spread(self):
         from bbbp_tpu.train.batched_search import batched_random_search

@@ -74,6 +74,8 @@ class TestMatmulHistogramEngine:
              "subsample": 1.0},
             {"rf": True, "n_estimators": 30, "max_depth": 4,
              "colsample": 1.0, "reg_lambda": 1e-6},
+            {"oblivious": True, "n_estimators": 30, "max_depth": 4,
+             "learning_rate": 0.1, "reg_lambda": 1.0},
         ]
         a_s, p_s, f_s = _forest_cv(x, y_cls, folds, params, classify=True)
         a_v, p_v, f_v = _forest_cv_vmapped(x, y_cls, folds, params,

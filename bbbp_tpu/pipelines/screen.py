@@ -277,6 +277,10 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
                 q_dev.put((smiles, ids, bad, fut))
         except BaseException as e:  # noqa: BLE001 — re-raised in main thread
             errors.append(e)
+            # keep draining q_feat so the producer never deadlocks on a
+            # full queue after this stage has died
+            while q_feat.get() is not _END:
+                pass
         finally:
             q_dev.put(_END)
 
@@ -299,17 +303,25 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
             [sid, smi, int(proba[i] > model.threshold), f"{proba[i]:.4f}"]
             for i, (sid, smi) in enumerate(zip(ids, smiles)))
 
-    while True:
-        item = q_dev.get()
-        if item is _END:
-            break
-        smiles, ids, bad, fut = item
-        t0 = time.time()
-        proba = np.asarray(fut)
-        dev_time += time.time() - t0
-        n_total += len(smiles)
-        if writer is not None:
-            write_rows(smiles, ids, proba, bad)
+    try:
+        while True:
+            item = q_dev.get()
+            if item is _END:
+                break
+            smiles, ids, bad, fut = item
+            t0 = time.time()
+            proba = np.asarray(fut)
+            dev_time += time.time() - t0
+            n_total += len(smiles)
+            if writer is not None:
+                write_rows(smiles, ids, proba, bad)
+    except BaseException:
+        # unblock the dispatcher (and transitively the producer) before
+        # re-raising, so a drain/write failure can't leave blocked threads
+        # behind in a long-lived process
+        while q_dev.get() is not _END:
+            pass
+        raise
     for th in threads:
         th.join()
     if fout is not None:

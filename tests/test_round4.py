@@ -111,6 +111,25 @@ class TestMatmulHistogramEngine:
         assert r2 > 0.7
 
 
+class TestScreenPipelineErrors:
+    def test_producer_error_propagates_without_hang(self, tmp_path):
+        import pytest
+        from bbbp_tpu.pipelines.screen import ScreeningModel, screen
+
+        labels = np.array([1, 0, 1, 0] * 8, np.float32)
+        model = ScreeningModel.train(["CCO", "CCN", "c1ccccc1", "CCS"] * 8,
+                                     labels, pca_dim=4, n_estimators=10)
+
+        def bad_stream():
+            yield ("CCO", "A1")
+            yield ("CCN", "A2")
+            raise RuntimeError("stream died")
+
+        with pytest.raises(RuntimeError, match="stream died"):
+            screen(model, bad_stream(), out_csv=str(tmp_path / "out.csv"),
+                   chunk_size=8)
+
+
 class TestReferenceStackMeta:
     def test_refstack_memorizes_in_sample(self):
         """The reference's meta (forest stack over the OOF matrix, predicted

@@ -11,8 +11,9 @@ cd /root/repo
 MAIN_LOG=/tmp/queue_r4.log
 LOG=/tmp/queue_r4b.log
 
-# wait (up to 8h) for the main queue to finish so we never share the tunnel
-for _ in $(seq 1 960); do
+# wait for the main queue to finish so we never share the tunnel; abort
+# rather than fall through if it is somehow still alive at the cap
+for _ in $(seq 1 2880); do
   if grep -q "r4queue: ALL STAGES DONE" "$MAIN_LOG" 2>/dev/null; then break; fi
   if ! kill -0 "$(cat /tmp/queue_r4.pid 2>/dev/null)" 2>/dev/null; then
     echo "r4b: main queue process gone without DONE marker; proceeding"
@@ -20,6 +21,11 @@ for _ in $(seq 1 960); do
   fi
   sleep 30
 done
+if ! grep -q "r4queue: ALL STAGES DONE" "$MAIN_LOG" 2>/dev/null \
+    && kill -0 "$(cat /tmp/queue_r4.pid 2>/dev/null)" 2>/dev/null; then
+  echo "r4b: main queue still running after wait cap; ABORTING (no tunnel sharing)"
+  exit 1
+fi
 
 done_stage() {
   grep -hq "r4b: $1 exited rc=0" "$LOG" 2>/dev/null

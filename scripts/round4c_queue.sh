@@ -7,7 +7,7 @@ cd /root/repo
 PREV_LOG=/tmp/queue_r4b.log
 LOG=/tmp/queue_r4c.log
 
-for _ in $(seq 1 1440); do
+for _ in $(seq 1 2880); do
   if grep -q "r4b: ALL STAGES DONE" "$PREV_LOG" 2>/dev/null; then break; fi
   if ! kill -0 "$(cat /tmp/queue_r4b.pid 2>/dev/null)" 2>/dev/null; then
     echo "r4c: r4b queue process gone without DONE marker; proceeding"
@@ -15,6 +15,11 @@ for _ in $(seq 1 1440); do
   fi
   sleep 30
 done
+if ! grep -q "r4b: ALL STAGES DONE" "$PREV_LOG" 2>/dev/null \
+    && kill -0 "$(cat /tmp/queue_r4b.pid 2>/dev/null)" 2>/dev/null; then
+  echo "r4c: round4b queue still running after wait cap; ABORTING (no tunnel sharing)"
+  exit 1
+fi
 
 done_stage() {
   grep -hq "r4c: $1 exited rc=0" "$LOG" 2>/dev/null

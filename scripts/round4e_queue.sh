@@ -16,6 +16,11 @@ for _ in $(seq 1 2880); do
   fi
   sleep 30
 done
+if ! grep -q "r4d: ALL STAGES DONE" "$PREV_LOG" 2>/dev/null \
+    && kill -0 "$(cat /tmp/queue_r4d.pid 2>/dev/null)" 2>/dev/null; then
+  echo "r4e: round4d queue still running after wait cap; ABORTING (no tunnel sharing)"
+  exit 1
+fi
 
 done_stage() {
   grep -hq "r4e: $1 exited rc=0" "$LOG" 2>/dev/null

@@ -101,4 +101,29 @@ def _enable_persistent_compile_cache() -> None:
         pass
 
 
+def _honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS`` from the environment actually win.
+
+    The axon sitecustomize registers the TPU backend at interpreter start and
+    (as of the current image) pins the live ``jax_platforms`` config to the
+    tunnel backend, so ``JAX_PLATFORMS=cpu python …`` silently runs on the
+    remote TPU anyway — contending with whatever job owns the tunnel. Tests
+    already guard themselves (tests/conftest.py re-updates the live config);
+    this makes every package entry point honor the env var the same way.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if not want or want == "axon":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:  # noqa: BLE001 — never make importing the package fatal
+        pass
+
+
+_honor_jax_platforms_env()
 _enable_persistent_compile_cache()

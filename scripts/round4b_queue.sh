@@ -2,9 +2,15 @@
 # Round-4b TPU queue: runs AFTER round4_queue.sh completes (waits for its
 # "ALL STAGES DONE" marker). One stage at a time — single tunnel discipline.
 #
+#   graphbl  — tuned A1 baseline on graph descriptors    (VERDICT item 6)
+#   seed44   — third honest split seed                   (VERDICT item 2)
 #   retune   — MACCS tuned rerun, repeated-CV selection  (VERDICT item 7)
 #   curves   — morgan/rdkit learning curves              (VERDICT item 5)
-#   graphbl  — tuned A1 baseline on graph descriptors    (VERDICT item 6)
+#
+# Ordered by value-per-hour if the round ends mid-chain: graphbl is cheap and
+# closes the last partial §2 component; seed44 completes the >=3-split
+# footing for the honest headline; retune/curves are claim-hygiene and
+# artifact completeness.
 set -u
 cd /root/repo
 
@@ -49,7 +55,8 @@ run_stage() {  # name, logfile, cmd...
   return $rc
 }
 
+run_stage graphbl /tmp/r4graphbl.log python -u scripts/round4_graph_baseline.py
+run_stage seed44  /tmp/r4seed44.log  python -u scripts/round3_split_seeds.py 44
 run_stage retune  /tmp/r4retune.log  python -u scripts/round4_retune_maccs.py
 run_stage curves  /tmp/r4curves.log  python -u scripts/round4_curves.py
-run_stage graphbl /tmp/r4graphbl.log python -u scripts/round4_graph_baseline.py
 echo "r4b: ALL STAGES DONE"

@@ -1,6 +1,9 @@
 #!/bin/bash
 # Round-4c TPU queue: runs AFTER round4b_queue.sh completes.
-#   mlm — 3x-corpus MLM estimate for the SMILES leg (VERDICT item 10)
+#   fvprobe — vmapped forest-search probe (worker health + wall-clock)
+# (swapped with the 3x-MLM estimate: the probe is cheaper and informs the
+# default of the matmul forest engine; the MLM estimate is the most
+# speculative lever and runs last, in round4d)
 set -u
 cd /root/repo
 
@@ -43,5 +46,5 @@ run_stage() {  # name, logfile, cmd...
   return $rc
 }
 
-run_stage mlm /tmp/r4mlm.log python -u scripts/round4_mlm_scale.py
+run_stage fvprobe /tmp/r4fvprobe.log python -u scripts/round4_forest_vmap_probe.py
 echo "r4c: ALL STAGES DONE"

@@ -1,6 +1,6 @@
 #!/bin/bash
 # Round-4d TPU queue: runs AFTER round4c_queue.sh completes.
-#   fvprobe — vmapped forest-search probe (worker health + wall-clock)
+#   mlm — 3x-corpus MLM estimate for the SMILES leg (VERDICT item 10)
 set -u
 cd /root/repo
 
@@ -43,5 +43,5 @@ run_stage() {  # name, logfile, cmd...
   return $rc
 }
 
-run_stage fvprobe /tmp/r4fvprobe.log python -u scripts/round4_forest_vmap_probe.py
+run_stage mlm /tmp/r4mlm.log python -u scripts/round4_mlm_scale.py
 echo "r4d: ALL STAGES DONE"

@@ -31,10 +31,19 @@ def _prune_foreign_cache_entries(root: str, keep_tag: str) -> None:
     served again (the cache dir now always points at a fingerprint subdir),
     and fingerprint subdirs from other host generations are unreachable by
     construction — with 10-40 min compiles these are large, so delete both
-    instead of accumulating them across container migrations."""
+    instead of accumulating them across container migrations.
+
+    Guarded by a per-tag marker file (ADVICE r4): the prune runs once per
+    fingerprint CHANGE, not on every import — if the repo dir is ever shared
+    by hosts of two CPU generations (network FS, side-by-side containers),
+    an every-import purge would have each import wipe the other host's
+    populated cache, repeatedly discarding 10-40 min remote compiles."""
     import os
     import shutil
 
+    marker = os.path.join(root, f".pruned_for_{keep_tag}")
+    if os.path.exists(marker):
+        return
     try:
         for name in os.listdir(root):
             p = os.path.join(root, name)
@@ -42,6 +51,8 @@ def _prune_foreign_cache_entries(root: str, keep_tag: str) -> None:
                 os.unlink(p)
             elif os.path.isdir(p) and name != keep_tag:
                 shutil.rmtree(p, ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write("pruned\n")
     except OSError:
         pass
 

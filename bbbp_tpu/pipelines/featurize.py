@@ -90,7 +90,11 @@ def featurize_graph_b3db(dataset: str = "classification", out_dir: str = ".",
     feats, bad = pooled_graph_features(smiles, max_atoms=max_atoms)
     path = os.path.join(out_dir, "gpu_features.npy")
     np.save(path, feats)
-    print(f"saved {path} {feats.shape} ({len(bad)} invalid quarantined)")
+    # row-aligned contract (like the repo's other featurizers): the matrix
+    # keeps one row per input molecule; invalid SMILES become zero rows and
+    # are listed in bad_indices for the caller to mask
+    print(f"saved {path} {feats.shape} "
+          f"({len(bad)} invalid -> zero rows, listed in bad_indices)")
     return {"npy": path, "bad_indices": bad}
 
 

@@ -167,6 +167,18 @@ def _make_packed_device_fn(model: ScreeningModel, mesh=None):
     return _shard_over_data(run, mesh) if mesh is not None else jax.jit(run)
 
 
+class ScreenBackendError(RuntimeError):
+    """The TPU backend died mid-screen (observed as FAILED_PRECONDITION from
+    the axon tunnel when the worker restarts under a run — BENCH_r04 attempt
+    1). Carries which chunk's result fetch hit the dead backend so a
+    supervisor can log/retry precisely instead of guessing."""
+
+    def __init__(self, chunk_index: int, cause: BaseException):
+        super().__init__(
+            f"backend died fetching screening chunk {chunk_index}: {cause!r}")
+        self.chunk_index = chunk_index
+
+
 @dataclass
 class ScreenStats:
     n_molecules: int
@@ -184,7 +196,7 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
            out_csv: Optional[str] = "virtual_screening_results.csv",
            chunk_size: int = 8192, workers: Optional[int] = None,
            verbose: bool = False, mesh=None,
-           pipeline_depth: int = 3) -> ScreenStats:
+           pipeline_depth: int = 3, dispatch_workers: int = 2) -> ScreenStats:
     """Stream screening as a three-stage thread pipeline: featurize (C++
     threads, GIL-released) → pad + H2D + async device dispatch → drain +
     CSV write. Each stage hands off through a ``pipeline_depth``-bounded
@@ -193,10 +205,21 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
     serializing with it in one thread (round-3 bench: ~3s of device tail
     was unhidden with the old 2-deep single-consumer loop).
 
+    ``dispatch_workers``: number of concurrent pad+H2D+dispatch threads.
+    One dispatcher serializes the per-chunk transfer RPC over the tunnel
+    (round-4 bench: wall/featurize 1.65 with the dispatcher stage
+    co-dominant); with ≥2, chunk i+1's transfer overlaps chunk i's. Results
+    re-order by sequence number in the drain, so the CSV stays in input
+    order regardless.
+
     ``mesh``: optional jax.sharding.Mesh with a 'data' axis — each chunk's
     molecule axis shards across the mesh (weights replicate), so a v5e-8
     screens 8 chunk-shards per dispatch. Proven on the CPU-sim mesh in
-    tests/test_round2.py::test_device_fn_actually_shards."""
+    tests/test_round2.py::test_device_fn_actually_shards.
+
+    Raises ScreenBackendError (with the failing chunk index) when a result
+    fetch hits a dead TPU backend, after unblocking every pipeline thread —
+    the caller can gate/retry without leaking blocked threads."""
     packed_mode = False
     if model.fp_kind in ("morgan", "rdkit"):
         try:
@@ -216,19 +239,21 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
             raise ValueError("chunk_size must divide the mesh 'data' axis")
     t_start = time.time()
     feat_time = 0.0
-    dev_time = 0.0
     n_total = 0
     n_bad = 0
+    n_disp = max(1, int(dispatch_workers))
 
     q_feat: Queue = Queue(maxsize=pipeline_depth)
-    q_dev: Queue = Queue(maxsize=pipeline_depth)
+    q_dev: Queue = Queue(maxsize=pipeline_depth + n_disp)
     _END = object()
     errors: List[BaseException] = []
+    dev_times: List[float] = []        # per-thread accumulators (no data race)
+    _time_lock = threading.Lock()
 
     def producer():
         nonlocal feat_time, n_bad
         try:
-            for chunk in chunked(smiles_iter, chunk_size):
+            for seq, chunk in enumerate(chunked(smiles_iter, chunk_size)):
                 smiles = [c[0] for c in chunk]
                 ids = [c[1] for c in chunk]
                 t0 = time.time()
@@ -244,7 +269,7 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
                     feats, bad_idx = res.features, res.bad_indices
                 feat_time += time.time() - t0
                 n_bad += len(bad_idx)
-                q_feat.put((smiles, ids, feats, bad_idx))
+                q_feat.put((seq, smiles, ids, feats, bad_idx))
         except BaseException as e:  # noqa: BLE001 — re-raised in main thread
             errors.append(e)
         finally:
@@ -252,15 +277,17 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
 
     def dispatcher():
         """Pad → H2D → async dispatch, off the drain thread: the transfer
-        RPC overlaps both featurization (GIL released in C++) and the
-        previous chunks' result fetch."""
-        nonlocal dev_time
+        RPC overlaps featurization (GIL released in C++), the result
+        fetches, AND — with dispatch_workers > 1 — the sibling dispatchers'
+        transfers (one thread serializes the per-chunk RPC latency)."""
+        dt = 0.0
         try:
             while True:
                 item = q_feat.get()
                 if item is _END:
+                    q_feat.put(_END)   # wake the sibling dispatchers too
                     break
-                smiles, ids, feats, bad = item
+                seq, smiles, ids, feats, bad = item
                 t0 = time.time()
                 # pad to fixed chunk size: ONE compiled executable, all chunks
                 n_real = len(feats)
@@ -273,19 +300,26 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
                 if data_sharding is not None:
                     arr = jax.device_put(arr, data_sharding)
                 fut = run(arr)   # async dispatch; never blocks on results
-                dev_time += time.time() - t0
-                q_dev.put((smiles, ids, bad, fut))
+                dt += time.time() - t0
+                q_dev.put((seq, smiles, ids, bad, fut))
         except BaseException as e:  # noqa: BLE001 — re-raised in main thread
             errors.append(e)
             # keep draining q_feat so the producer never deadlocks on a
-            # full queue after this stage has died
-            while q_feat.get() is not _END:
-                pass
+            # full queue after this stage has died (siblings may also be
+            # dead; the re-put _END keeps every consumer terminating)
+            while True:
+                item = q_feat.get()
+                if item is _END:
+                    q_feat.put(_END)
+                    break
         finally:
+            with _time_lock:
+                dev_times.append(dt)
             q_dev.put(_END)
 
-    threads = [threading.Thread(target=producer, daemon=True),
-               threading.Thread(target=dispatcher, daemon=True)]
+    threads = [threading.Thread(target=producer, daemon=True)]
+    threads += [threading.Thread(target=dispatcher, daemon=True)
+                for _ in range(n_disp)]
     for th in threads:
         th.start()
 
@@ -303,24 +337,41 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
             [sid, smi, int(proba[i] > model.threshold), f"{proba[i]:.4f}"]
             for i, (sid, smi) in enumerate(zip(ids, smiles)))
 
+    def drain_all_ends(ends_seen: int) -> None:
+        """Unblock every dispatcher (and transitively the producer) so a
+        drain failure can't leave blocked threads behind."""
+        while ends_seen < n_disp:
+            if q_dev.get() is _END:
+                ends_seen += 1
+
+    drain_time = 0.0
+    ends = 0
+    # re-order completed chunks by sequence number so the CSV matches the
+    # input stream even with concurrent dispatchers
+    pending = {}
+    next_seq = 0
     try:
-        while True:
+        while ends < n_disp:
             item = q_dev.get()
             if item is _END:
-                break
-            smiles, ids, bad, fut = item
+                ends += 1
+                continue
+            seq, smiles, ids, bad, fut = item
             t0 = time.time()
-            proba = np.asarray(fut)
-            dev_time += time.time() - t0
+            try:
+                proba = np.asarray(fut)
+            except Exception as e:  # noqa: BLE001 — classify + attribute
+                raise ScreenBackendError(seq, e) from e
+            drain_time += time.time() - t0
             n_total += len(smiles)
-            if writer is not None:
-                write_rows(smiles, ids, proba, bad)
+            pending[seq] = (smiles, ids, proba, bad)
+            while next_seq in pending:
+                s_, i_, p_, b_ = pending.pop(next_seq)
+                if writer is not None:
+                    write_rows(s_, i_, p_, b_)
+                next_seq += 1
     except BaseException:
-        # unblock the dispatcher (and transitively the producer) before
-        # re-raising, so a drain/write failure can't leave blocked threads
-        # behind in a long-lived process
-        while q_dev.get() is not _END:
-            pass
+        drain_all_ends(ends)
         raise
     for th in threads:
         th.join()
@@ -328,6 +379,9 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
         fout.close()
     if errors:
         raise errors[0]
+    # device_s: dispatch/transfer wall is concurrent across dispatchers —
+    # take the max lane (the critical path) plus the drain's fetch waits
+    dev_time = (max(dev_times) if dev_times else 0.0) + drain_time
     return ScreenStats(n_total, n_bad, time.time() - t_start, feat_time, dev_time)
 
 

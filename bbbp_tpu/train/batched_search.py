@@ -352,8 +352,12 @@ def _forest_cv_vmapped(x, y, folds, param_sets: List[Dict],
                                 jnp.float32)
             col_b = jnp.asarray([p.get("colsample", 1.0) for p in ps],
                                 jnp.float32)
-            keys_b = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(0),
-                                                   t * 131 + k)
+            # same key derivation as the sequential path: _forest_cv feeds
+            # fold_in(PRNGKey(0), t*131+k) to fit_forest_launched, which
+            # folds in the launch index (0 here — the matmul engine is
+            # single-launch), so the two engines grow bit-identical trees
+            keys_b = jnp.stack([jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(0), t * 131 + k), 0)
                                 for t, k in blk])
             roww_b = prep["w_kn"][jnp.asarray([k for _, k in blk])]
             preds_f, _, _, _ = fit_v(

@@ -146,13 +146,13 @@ class RegressionTrainConfig:
                                   # (device), so 50-fold (~LOO) costs only
                                   # host sub-matrix solves. More train rows
                                   # per fold -> measured +0.004 leg R2
-                                  # (scripts/estimate_folds_gain.py). strict:
-                                  # each fine fold re-fits EVERY statistic
-                                  # (descriptor scaler, RBF bandwidth, IDF
-                                  # weights, kernel solve) on its own train
-                                  # rows — one small gram+Cholesky per fold,
-                                  # still strict-valid because the kernels
-                                  # act on raw transform-free bits.
+                                  # (scripts/estimate_folds_gain.py).
+                                  # IGNORED under strict: a non-nested fine
+                                  # split feeds the cross-fitted meta
+                                  # train-row predictions from models that
+                                  # saw that meta-fold's test labels, so
+                                  # strict keeps kernel fits on the main
+                                  # folds (advisor round-4 finding).
     nn_split_mix: bool = False    # NN/graph seed replicas rotate over
                                   # split_repeats different kfold splits
                                   # (replica 0 keeps the canonical split, so
@@ -481,9 +481,13 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     # fine-grained CV for the kernel-ridge legs: under honest/compat the
     # grams are label-independent, so compute each FULL gram once (device
     # matmuls) and run kernel_n_folds (~LOO at 50) as host sub-matrix solves
-    # — more train rows per fold. Under strict the per-fold fits happen in
-    # the fine loop itself (every fitted statistic from train rows only).
-    fine_kernels = bool(cfg.kernel_n_folds)
+    # — more train rows per fold. Under STRICT the fine split is IGNORED and
+    # the kernel legs fit on the MAIN folds: a kernel OOF column built on a
+    # non-nested 50-fold split hands the cross-fitted meta train-row
+    # predictions from models that saw that meta-fold's test labels
+    # (second-order influence — advisor round-4 finding). Main-fold fits keep
+    # every fitted statistic aligned with the meta's own cross-fitting.
+    fine_kernels = bool(cfg.kernel_n_folds) and not strict
     K_tk_full = K_ck_full = None
     if fine_kernels and not strict and cfg.tkrr_leg:
         K_tk_full = TanimotoKernelRidge.full_gram(fp_bits)
@@ -704,46 +708,17 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                 transfer.features[tr], y[tr]).predict(transfer.features[te])
 
       if fine_kernels:
+          # honest/compat only — strict keeps the kernel legs on the main
+          # folds above so the OOF columns stay aligned with the meta's
+          # cross-fitting (see fine_kernels definition).
           folds_k = kfold_indices(n, cfg.kernel_n_folds,
                                   cfg.seed + 7700 * rep)
-          if strict:
-              # strict-valid fine CV: per-fold model fits — every fitted
-              # statistic comes from that fold's TRAIN rows. The grams act
-              # on raw bits (no fitted transform), so this is one small
-              # gram + Cholesky per fold on device.
-              if cfg.tkrr_leg:
-                  out_k = np.zeros(n, np.float32)
-                  for te_k in folds_k:
-                      trm = np.ones(n, bool)
-                      trm[te_k] = False
-                      tr_k = np.arange(n)[trm]
-                      out_k[te_k] = TanimotoKernelRidge(cfg.tkrr_lam).fit(
-                          fp_bits[tr_k], y[tr_k]).predict(fp_bits[te_k])
-                  oof_r["tkrr"] = out_k
-              if cfg.ckrr_leg:
-                  out_k = np.zeros(n, np.float32)
-                  for te_k in folds_k:
-                      trm = np.ones(n, bool)
-                      trm[te_k] = False
-                      tr_k = np.arange(n)[trm]
-                      bw_k = (ChemKernelRidge.idf_weights(
-                                  ck_maccs[tr_k], ck_counts[tr_k])
-                              if cfg.ckrr_idf else None)
-                      mk = ChemKernelRidge(
-                          cfg.ckrr_lam, weights=tuple(cfg.ckrr_weights),
-                          bit_weights=bw_k).fit(
-                          ck_maccs[tr_k], ck_counts[tr_k], ck_desc[tr_k],
-                          y[tr_k])
-                      out_k[te_k] = mk.predict(
-                          ck_maccs[te_k], ck_counts[te_k], ck_desc[te_k])
-                  oof_r["ckrr"] = out_k
-          else:
-              if cfg.tkrr_leg:
-                  oof_r["tkrr"] = _gram_cv_oof(K_tk_full, cfg.tkrr_lam,
-                                               folds_k)
-              if cfg.ckrr_leg:
-                  oof_r["ckrr"] = _gram_cv_oof(K_ck_full, cfg.ckrr_lam,
-                                               folds_k)
+          if cfg.tkrr_leg:
+              oof_r["tkrr"] = _gram_cv_oof(K_tk_full, cfg.tkrr_lam,
+                                           folds_k)
+          if cfg.ckrr_leg:
+              oof_r["ckrr"] = _gram_cv_oof(K_ck_full, cfg.ckrr_lam,
+                                           folds_k)
       for m in rep_legs:
           rep_acc[m] += oof_r[m] / n_rep
     for m in rep_legs:

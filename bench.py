@@ -118,16 +118,18 @@ def _real_feedstock(n: int, seed: int = 7):
     return out
 
 
-def _train_mfu_probe():
+def _train_mfu_probe(folds: int = 10, batch: int = 32):
     """One batched-folds training epoch of the flagship model on bench-sized
-    shapes: report step time, XLA-estimated FLOPs, and MFU."""
+    shapes: report step time, XLA-estimated FLOPs, and MFU. ``folds`` is the
+    vmapped batched axis — scripts/round5_mfu_probe.py sweeps it to test the
+    repo's utilization thesis (MFU grows with batched-axis width)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
     from bbbp_tpu.models.transformer_cnn import MultiModalRegressor
 
-    folds, batch, fp_dim, side = 10, 32, 191, 128
+    fp_dim, side = 191, 128
     model = MultiModalRegressor(fp_dim=fp_dim, n_layers=4)
     tx = optax.adamw(3e-4)
     rng = jax.random.PRNGKey(0)
@@ -194,12 +196,11 @@ def main() -> None:
 
     import jax
 
-    from bbbp_tpu.pipelines.screen import screen
+    from bbbp_tpu.pipelines.screen import ScreenBackendError, screen
 
     n_chips = len(jax.devices())
     model, train_s = _cached_model(workers=None)
     smiles = _real_feedstock(n_mols)
-    stream = ((s, f"B3DB{i:09d}") for i, s in enumerate(smiles))
 
     # multi-chip hosts shard the molecule axis over a 'data' mesh so the
     # per-chip division below reflects devices actually used (single-chip
@@ -216,10 +217,37 @@ def main() -> None:
     # dispatch cost is co-dominant; BENCH_CHUNK lets live runs probe larger
     # chunks (amortize tunnel RPCs) without changing the proven default
     chunk = int(os.environ.get("BENCH_CHUNK", "16384"))
+    n_disp = int(os.environ.get("BENCH_DISPATCHERS", "2"))
     warm = [(s, "w") for s in smiles[:chunk]]
-    screen(model, iter(warm), out_csv=None, chunk_size=chunk, mesh=mesh)
+    screen(model, iter(warm), out_csv=None, chunk_size=chunk, mesh=mesh,
+           dispatch_workers=n_disp)
 
-    stats = screen(model, stream, out_csv=None, chunk_size=chunk, mesh=mesh)
+    def _timed_screen():
+        return screen(model, ((s, f"B3DB{i:09d}") for i, s in
+                              enumerate(smiles)),
+                      out_csv=None, chunk_size=chunk, mesh=mesh,
+                      dispatch_workers=n_disp)
+
+    try:
+        stats = _timed_screen()
+    except ScreenBackendError as e:
+        # the TPU worker died under the run (BENCH_r04 attempt 1 pattern:
+        # FAILED_PRECONDITION in the drain). Probe the backend in-process;
+        # if it answers, one in-process retry is enough, otherwise exit
+        # with a distinct rc so the parent's re-exec retry starts
+        # immediately instead of burning the full timeout.
+        print(f"# backend died at chunk {e.chunk_index}; probing...",
+              file=sys.stderr)
+        try:
+            import jax.numpy as jnp
+
+            assert float(jnp.ones((8, 8)).sum()) == 64.0
+        except Exception:
+            print("# backend unreachable in-process; exiting rc=3 for fast "
+                  "parent retry", file=sys.stderr)
+            sys.exit(3)
+        print("# backend healthy again; in-process retry", file=sys.stderr)
+        stats = _timed_screen()
     per_chip = stats.mol_per_s / max(n_chips, 1)
     baseline = 1_000_000.0 / 3600.0 / 8.0  # 34.72 mol/s/chip on v5e-8
 
@@ -242,6 +270,8 @@ def main() -> None:
         "model_train_s_first_run": train_s,
         "n_invalid": stats.n_invalid,
         "feedstock": "B3DB real molecules cycled",
+        "chunk_size": chunk,
+        "dispatch_workers": n_disp,
         **mfu,
     }
     try:

@@ -6,9 +6,14 @@ absent, so the honest-vs-strict comparison overstated the leak price. This
 run mirrors scripts/round3_final_push.py's honest config lever-for-lever
 wherever the strict protocol permits:
 
-- kernel_n_folds=50 now runs under strict as per-fold kernel fits (every
-  fitted statistic — descriptor scaler, RBF bandwidth, IDF bit weights,
-  the kernel solve — from that fold's train rows only; train.regression).
+- kernel_n_folds is IGNORED under strict as of round 5 (ADVICE r4 medium:
+  a non-nested 50-fold kernel split fed the cross-fitted meta train-row
+  predictions from models that saw that meta-fold's test labels). The
+  kernel legs fit on the MAIN folds — every fitted statistic (descriptor
+  scaler, RBF bandwidth, IDF bit weights, the kernel solve) from that
+  fold's train rows only, fully aligned with the meta's cross-fitting.
+  Round-5 rerun of this script supersedes the round-4 artifact (preserved
+  as regression_maccs_strict_r4_misaligned.json).
 - ckrr_idf=True with per-fold IDF.
 - fp_tree_legs=("morgan",) and the transfer leg use transform-free,
   leak-screened features that are strict-valid by construction.
@@ -90,6 +95,13 @@ if os.path.exists(old):
     if "ckrr" not in prev:
         with open(f"{OUT}/regression_maccs_strict_r3_9leg.json", "w") as f:
             json.dump(prev, f, indent=1)
+    else:
+        # round-4 full-leg artifact used the misaligned fine-kernel split
+        # (ADVICE r4 medium) — keep it for the before/after comparison
+        mis = f"{OUT}/regression_maccs_strict_r4_misaligned.json"
+        if not os.path.exists(mis):
+            with open(mis, "w") as f:
+                json.dump(prev, f, indent=1)
 with open(old, "w") as f:
     json.dump(res.report, f, indent=1)
 log(f"strict done -> {old} (stacked R2={res.report['stacked']['r2']:.4f})")

@@ -288,22 +288,29 @@ class TestRegressionPipeline:
 
 
 class TestStrictFineKernels:
-    def test_strict_kernel_legs_fine_cv_per_fold_idf(self):
-        """Round-4: strict + kernel_n_folds runs the kernel legs as per-fold
-        fits (train-row-only scaler/bandwidth/IDF) and the legs land finite
-        in the stack; the headline metric stays the cross-fitted one."""
+    def test_strict_ignores_kernel_n_folds_main_fold_alignment(self):
+        """ADVICE r4 (medium): a strict kernel OOF column built on a
+        non-nested fine split (kernel_n_folds) hands the cross-fitted meta
+        train-row predictions from models that saw that meta-fold's test
+        labels. Under strict the fine split must be IGNORED — kernel legs
+        fit on the MAIN folds, bit-identical to kernel_n_folds=None."""
         from bbbp_tpu.train.regression import (RegressionTrainConfig,
                                                run_regression)
 
         d = _tiny_processed()
-        cfg = RegressionTrainConfig(
+        common = dict(
             protocol="strict", n_folds=3, epochs=2, nn_seeds=1,
             graph_leg=False, bert_leg=False, tree_seeds=1, snapshot_from=None,
             rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8,
-            kernel_n_folds=6, ckrr_idf=True, fp_tree_legs=("morgan",))
-        res = run_regression(cfg, data=d, verbose=False)
+            ckrr_idf=True, fp_tree_legs=("morgan",))
+        res = run_regression(RegressionTrainConfig(kernel_n_folds=6, **common),
+                             data=d, verbose=False)
+        res_none = run_regression(RegressionTrainConfig(kernel_n_folds=None,
+                                                        **common),
+                                  data=d, verbose=False)
         for m in ("tkrr", "ckrr", "tknn", "gbdt_morgan", "rf"):
             assert m in res.oof and np.isfinite(res.oof[m]).all(), m
+            np.testing.assert_array_equal(res.oof[m], res_none.oof[m], err_msg=m)
         assert np.isfinite(res.report["stacked"]["r2"])
         # strict headline == cross-fitted stack
         assert res.report["stacked"]["r2"] == res.report[

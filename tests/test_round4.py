@@ -80,10 +80,13 @@ class TestMatmulHistogramEngine:
         a_s, p_s, f_s = _forest_cv(x, y_cls, folds, params, classify=True)
         a_v, p_v, f_v = _forest_cv_vmapped(x, y_cls, folds, params,
                                            classify=True)
-        # same trees (same keys, same splits) -> same pooled scores; the
-        # only numeric difference is the histogram summation order
-        np.testing.assert_allclose(a_s, a_v, atol=0.02)
-        np.testing.assert_allclose(f_s, f_v, atol=0.02)
+        # the vmapped path derives lane keys exactly as the sequential path
+        # (fold_in(fold_in(key0, t*131+k), launch=0) — single-launch matmul
+        # engine), so both engines grow the same trees and the residual
+        # difference is histogram summation order occasionally flipping a
+        # near-tie split (a handful of samples out of 300)
+        np.testing.assert_allclose(a_s, a_v, atol=0.01)
+        np.testing.assert_allclose(f_s, f_v, atol=0.01)
 
     def test_rf_prediction_accumulation(self):
         # rf mode now accumulates leaf margins into preds (vmapped search
@@ -212,9 +215,13 @@ class TestPooledGraphFeatures:
         out = featurize_graph_b3db("classification", str(tmp_path), limit=20)
         assert os.path.basename(out["npy"]) == "gpu_features.npy"
         arr = np.load(out["npy"])
-        assert arr.shape[0] + len(out["bad_indices"]) == 20
+        # row-aligned contract: one row per INPUT molecule; invalid SMILES
+        # become zero rows listed in bad_indices (they are not dropped)
+        assert arr.shape[0] == 20
         assert arr.shape[1] == 3 * N_ATOM_FEATURES + 2
         assert np.isfinite(arr).all()
+        for i in out["bad_indices"]:
+            assert arr[i].sum() == 0.0
 
     def test_baseline_runs_on_graph_features(self):
         from bbbp_tpu.train.baseline import BaselineConfig, run_baseline

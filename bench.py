@@ -214,10 +214,20 @@ def main() -> None:
 
     # warmup at the SAME chunk size: one compiled executable serves every chunk
     # with the 3x C++ featurizer (~49k mol/s) the device path's per-chunk
-    # dispatch cost is co-dominant; BENCH_CHUNK lets live runs probe larger
-    # chunks (amortize tunnel RPCs) without changing the proven default
-    chunk = int(os.environ.get("BENCH_CHUNK", "16384"))
-    n_disp = int(os.environ.get("BENCH_DISPATCHERS", "2"))
+    # dispatch cost is co-dominant. Config precedence: BENCH_CHUNK /
+    # BENCH_DISPATCHERS env > the committed device-path probe's best cell
+    # (results/DEVPATH_PROBE.json, measured on this hardware by
+    # scripts/round5_devpath_probe.py) > proven defaults.
+    best_cell = {}
+    try:
+        with open("results/DEVPATH_PROBE.json") as f:
+            best_cell = json.load(f).get("best_cell", {})
+    except (OSError, ValueError):
+        pass
+    chunk = int(os.environ.get("BENCH_CHUNK",
+                               best_cell.get("chunk_size", 16384)))
+    n_disp = int(os.environ.get("BENCH_DISPATCHERS",
+                                best_cell.get("dispatch_workers", 2)))
     warm = [(s, "w") for s in smiles[:chunk]]
     screen(model, iter(warm), out_csv=None, chunk_size=chunk, mesh=mesh,
            dispatch_workers=n_disp)
@@ -252,10 +262,11 @@ def main() -> None:
     baseline = 1_000_000.0 / 3600.0 / 8.0  # 34.72 mol/s/chip on v5e-8
 
     mfu = {}
-    try:
-        mfu = _train_mfu_probe()
-    except Exception as e:  # noqa: BLE001 — MFU probe must not sink the bench
-        print(f"# mfu probe failed: {e}", file=sys.stderr)
+    if os.environ.get("BENCH_SKIP_MFU") != "1":   # CPU smoke runs skip it
+        try:
+            mfu = _train_mfu_probe()
+        except Exception as e:  # noqa: BLE001 — probe must not sink the bench
+            print(f"# mfu probe failed: {e}", file=sys.stderr)
 
     detail = {
         "molecules_per_s_per_chip": per_chip,

@@ -118,3 +118,64 @@ class TestMultiDispatcher:
                dispatch_workers=3)
         with open(out1) as f1, open(out3) as f3:
             assert f1.read() == f3.read()
+
+
+class TestQueueSupervisor:
+    """The round-5 queue supervisor is the fix for round 4's silent queue
+    death — test its ledger/retry/skip logic with fake stages (no TPU)."""
+
+    def _mk(self, tmp_path, monkeypatch, stages_text):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "qsup", "/root/repo/scripts/queue_supervisor.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(mod, "STAGES_TSV", str(tmp_path / "stages.tsv"))
+        monkeypatch.setattr(mod, "LEDGER", str(tmp_path / "ledger.jsonl"))
+        monkeypatch.setattr(mod, "LOG_DIR", str(tmp_path / "logs"))
+        monkeypatch.setattr(mod, "HEARTBEAT", str(tmp_path / "logs/hb.txt"))
+        monkeypatch.setattr(mod, "RECOVERY_WAIT_S", 0)
+        monkeypatch.setattr(mod, "tpu_gate", lambda deadline_s: True)
+        import os
+        os.makedirs(tmp_path / "logs", exist_ok=True)
+        (tmp_path / "stages.tsv").write_text(stages_text)
+        return mod
+
+    def _events(self, mod):
+        import json
+        with open(mod.LEDGER) as f:
+            return [json.loads(ln) for ln in f]
+
+    def test_done_and_failed_stages_recorded(self, tmp_path, monkeypatch):
+        mod = self._mk(tmp_path, monkeypatch,
+                       "ok\t60\ttrue\nbad\t60\texit 7\nok2\t60\techo hi\n")
+        for name, t, cmd in mod.read_stages():
+            mod.run_stage(name, t, cmd)
+        ev = self._events(mod)
+        assert [e["event"] for e in ev if e["stage"] == "ok"] == \
+            ["started", "done"]
+        bad = [e for e in ev if e["stage"] == "bad"]
+        assert [e["event"] for e in bad] == ["started", "retry", "started",
+                                             "retry", "started", "failed"]
+        assert all(e.get("rc") == 7 for e in bad if e["event"] != "started")
+        # the queue moved past the failure: ok2 still landed
+        assert any(e["stage"] == "ok2" and e["event"] == "done" for e in ev)
+
+    def test_timeout_kills_and_records(self, tmp_path, monkeypatch):
+        mod = self._mk(tmp_path, monkeypatch, "slow\t1\tsleep 30\n")
+        monkeypatch.setattr(mod, "MAX_ATTEMPTS", 1)
+        import time as _t
+        t0 = _t.time()
+        ok = mod.run_stage("slow", 1, "sleep 30")
+        assert not ok and _t.time() - t0 < 15
+        ev = self._events(mod)
+        assert ev[-1]["event"] == "failed"
+        assert "timeout" in ev[-1]["reason"]
+
+    def test_restart_skips_done_stages(self, tmp_path, monkeypatch):
+        mod = self._mk(tmp_path, monkeypatch, "a\t60\ttrue\n")
+        mod.run_stage("a", 60, "true")
+        assert mod.ledger_done_stages() == {"a"}
+        pending = [s for s in mod.read_stages()
+                   if s[0] not in mod.ledger_done_stages()]
+        assert pending == []

@@ -300,6 +300,12 @@ def screen(model: ScreeningModel, smiles_iter: Iterable[Tuple[str, str]],
                 if data_sharding is not None:
                     arr = jax.device_put(arr, data_sharding)
                 fut = run(arr)   # async dispatch; never blocks on results
+                # start the D2H copy now: by the time the drain fetches,
+                # the bytes are already on host (hides one RTT per chunk)
+                try:
+                    fut.copy_to_host_async()
+                except AttributeError:
+                    pass
                 dt += time.time() - t0
                 q_dev.put((seq, smiles, ids, bad, fut))
         except BaseException as e:  # noqa: BLE001 — re-raised in main thread

@@ -43,6 +43,13 @@ HEARTBEAT = os.path.join(LOG_DIR, "heartbeat.txt")
 MAX_ATTEMPTS = 3
 GATE_DEADLINE_S = 14400
 RECOVERY_WAIT_S = 240
+# Stall killer: an axon worker restart can orphan a client RPC with NO
+# timeout — the stage then blocks in a socket wait forever (observed live on
+# the round-5 compat stage: log + CPU frozen 42 min while a fresh probe
+# process got served immediately). Legit silent gaps (server-side remote
+# compiles) run 10-40 min, so a stage whose log hasn't advanced in 50 min is
+# declared wedged, killed, and retried.
+STALL_KILL_S = 3000
 
 os.makedirs(LOG_DIR, exist_ok=True)
 _state = {"stage": "(starting)", "since": time.time()}
@@ -156,18 +163,34 @@ def run_stage(name: str, timeout_s: int, cmd: str) -> bool:
             lf.write(f"\n===== qsup attempt {attempt} "
                      f"{time.strftime('%Y-%m-%dT%H:%M:%S')} =====\n")
             lf.flush()
-            try:
-                proc = subprocess.Popen(
-                    ["bash", "-c", cmd], stdout=lf, stderr=subprocess.STDOUT,
-                    cwd=REPO, start_new_session=True)
-                rc = proc.wait(timeout=timeout_s)
-            except subprocess.TimeoutExpired:
-                reason = f"timeout after {timeout_s}s"
+            proc = subprocess.Popen(
+                ["bash", "-c", cmd], stdout=lf, stderr=subprocess.STDOUT,
+                cwd=REPO, start_new_session=True)
+            deadline = t0 + timeout_s
+            while True:
+                poll = max(0.5, min(30.0, deadline - time.time()))
                 try:
-                    os.killpg(proc.pid, signal.SIGKILL)
-                except (ProcessLookupError, PermissionError):
-                    pass
-                proc.wait(timeout=60)
+                    rc = proc.wait(timeout=poll)
+                    break
+                except subprocess.TimeoutExpired:
+                    now = time.time()
+                    try:
+                        log_age = now - os.path.getmtime(logf)
+                    except OSError:
+                        log_age = 0.0
+                    if now > deadline:
+                        reason = f"timeout after {timeout_s}s"
+                    elif log_age > STALL_KILL_S:
+                        reason = (f"stalled: log silent {log_age:.0f}s "
+                                  f"(wedged RPC after a worker restart)")
+                    else:
+                        continue
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        pass
+                    proc.wait(timeout=60)
+                    break
         elapsed = round(time.time() - t0, 1)
         if rc == 0:
             ledger_append({"stage": name, "event": "done", "attempt": attempt,

@@ -179,3 +179,18 @@ class TestQueueSupervisor:
         pending = [s for s in mod.read_stages()
                    if s[0] not in mod.ledger_done_stages()]
         assert pending == []
+
+    def test_stalled_stage_killed_and_recorded(self, tmp_path, monkeypatch):
+        """A stage whose log stops advancing (wedged RPC after a worker
+        restart) must be killed at STALL_KILL_S and recorded, well before
+        its wall-clock timeout."""
+        mod = self._mk(tmp_path, monkeypatch, "wedge\t600\tsleep 120\n")
+        monkeypatch.setattr(mod, "MAX_ATTEMPTS", 1)
+        monkeypatch.setattr(mod, "STALL_KILL_S", 2)
+        import time as _t
+        t0 = _t.time()
+        ok = mod.run_stage("wedge", 600, "echo start && sleep 120")
+        assert not ok and _t.time() - t0 < 90
+        ev = self._events(mod)
+        assert ev[-1]["event"] == "failed"
+        assert "stalled" in ev[-1]["reason"]

@@ -50,6 +50,13 @@ RECOVERY_WAIT_S = 240
 # compiles) run 10-40 min, so a stage whose log hasn't advanced in 50 min is
 # declared wedged, killed, and retried.
 STALL_KILL_S = 3000
+# First-output killer: every stage script's first act is a 64x64 health op +
+# a "TPU healthy" print (seconds, normally). A stage that produced <200 bytes
+# of output in 15 min is wedged on its FIRST op (also observed live: a gate
+# passed, then the very next process's first op hung) — no reason to wait
+# the full stall threshold.
+FIRST_OUTPUT_KILL_S = 900
+FIRST_OUTPUT_MIN_BYTES = 200
 
 os.makedirs(LOG_DIR, exist_ok=True)
 _state = {"stage": "(starting)", "since": time.time()}
@@ -163,6 +170,8 @@ def run_stage(name: str, timeout_s: int, cmd: str) -> bool:
             lf.write(f"\n===== qsup attempt {attempt} "
                      f"{time.strftime('%Y-%m-%dT%H:%M:%S')} =====\n")
             lf.flush()
+            lf.flush()
+            size0 = os.path.getsize(logf)
             proc = subprocess.Popen(
                 ["bash", "-c", cmd], stdout=lf, stderr=subprocess.STDOUT,
                 cwd=REPO, start_new_session=True)
@@ -176,13 +185,18 @@ def run_stage(name: str, timeout_s: int, cmd: str) -> bool:
                     now = time.time()
                     try:
                         log_age = now - os.path.getmtime(logf)
+                        log_grown = os.path.getsize(logf) - size0
                     except OSError:
-                        log_age = 0.0
+                        log_age, log_grown = 0.0, FIRST_OUTPUT_MIN_BYTES
                     if now > deadline:
                         reason = f"timeout after {timeout_s}s"
                     elif log_age > STALL_KILL_S:
                         reason = (f"stalled: log silent {log_age:.0f}s "
                                   f"(wedged RPC after a worker restart)")
+                    elif (now - t0 > FIRST_OUTPUT_KILL_S
+                          and log_grown < FIRST_OUTPUT_MIN_BYTES):
+                        reason = (f"no first output in {now - t0:.0f}s "
+                                  f"(first op wedged)")
                     else:
                         continue
                     try:

@@ -25,6 +25,10 @@ def log(msg):
     print(f"[r4bv +{time.time()-T0:7.0f}s] {msg}", flush=True)
 
 
+log(f"bench variance capture: {N} back-to-back bench.py runs (each run "
+    "supervises its own child with retries; this parent stays jax-free so "
+    "the children own the TPU claim). Writes results/BENCH_VARIANCE.json "
+    "and rewrites results/BENCH_DETAIL.json from the median run.")
 runs = []
 details = []
 for i in range(N):

@@ -194,3 +194,29 @@ class TestQueueSupervisor:
         ev = self._events(mod)
         assert ev[-1]["event"] == "failed"
         assert "stalled" in ev[-1]["reason"]
+
+    def test_first_output_wedge_killed_early(self, tmp_path, monkeypatch):
+        """A stage that never produces output (first op wedged right after
+        a passing gate — observed live) dies at FIRST_OUTPUT_KILL_S, not at
+        the much larger stall/timeout thresholds."""
+        mod = self._mk(tmp_path, monkeypatch, "w\t600\tsleep 120\n")
+        monkeypatch.setattr(mod, "MAX_ATTEMPTS", 1)
+        monkeypatch.setattr(mod, "FIRST_OUTPUT_KILL_S", 2)
+        import time as _t
+        t0 = _t.time()
+        ok = mod.run_stage("w", 600, "sleep 120")
+        assert not ok and _t.time() - t0 < 90
+        ev = self._events(mod)
+        assert ev[-1]["event"] == "failed"
+        assert "first op wedged" in ev[-1]["reason"]
+
+    def test_first_output_killer_spares_verbose_stage(self, tmp_path,
+                                                      monkeypatch):
+        """A stage that printed a real header (>200 bytes) is NOT killed by
+        the first-output rule even while silent afterwards."""
+        mod = self._mk(tmp_path, monkeypatch, "v\t600\tx\n")
+        monkeypatch.setattr(mod, "MAX_ATTEMPTS", 1)
+        monkeypatch.setattr(mod, "FIRST_OUTPUT_KILL_S", 2)
+        cmd = "python -c \"print('h'*300, flush=True); import time; time.sleep(40)\""
+        ok = mod.run_stage("v", 600, cmd)
+        assert ok

@@ -628,11 +628,65 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     # per-seed forest columns (averaged over repeats) for meta_perseed
     tree_seed_acc = {m: np.zeros((n_ts, n), np.float32)
                      for m in ("rf", "gbdt", "cat")}
+    # --- resumable tree stage -------------------------------------------
+    # The tree legs are the long tail of a run (hundreds of launched fits
+    # over the tunnel; an axon worker blip mid-stage orphans the client RPC
+    # forever — observed round 5). Checkpoint the accumulators after every
+    # (repeat, fold) so a supervisor kill+retry resumes instead of repaying
+    # the whole stage. Keyed by a config+data fingerprint so a stale file
+    # from a different run can never leak in. Enabled whenever out_dir is
+    # set (disable with BBBP_TREE_CKPT=0); deleted on stage completion.
+    import hashlib as _hl
+    import os as _os
+    import pickle as _pkl
+    from dataclasses import asdict as _asdict
+
+    ck_path = None
+    ck = {"cells": set(), "oof_r": {}, "rep_acc": rep_acc,
+          "tree_seed_acc": tree_seed_acc, "reps_done": set()}
+    if cfg.out_dir and _os.environ.get("BBBP_TREE_CKPT", "1") == "1":
+        _os.makedirs(cfg.out_dir, exist_ok=True)
+        ck_path = _os.path.join(cfg.out_dir, "tree_ckpt.pkl")
+        ck_key = _hl.sha256(
+            (repr(sorted(_asdict(cfg).items())) + f"|n={n}").encode()
+        ).hexdigest()
+        if _os.path.exists(ck_path):
+            try:
+                with open(ck_path, "rb") as f:
+                    old = _pkl.load(f)
+                if old.get("key") == ck_key:
+                    ck = old["state"]
+                    rep_acc = ck["rep_acc"]
+                    tree_seed_acc = ck["tree_seed_acc"]
+                    if verbose:
+                        print(f"[regression] tree stage RESUMED: "
+                              f"{len(ck['cells'])} folds + "
+                              f"{len(ck['reps_done'])} repeats done")
+                elif verbose:
+                    print("[regression] stale tree_ckpt ignored (key "
+                          "mismatch)")
+            except Exception:  # noqa: BLE001 — a bad ckpt must never be fatal
+                pass
+
+    def _ck_save():
+        if ck_path is None:
+            return
+        tmp = ck_path + ".tmp"
+        with open(tmp, "wb") as f:
+            _pkl.dump({"key": ck_key, "state": ck}, f)
+        _os.replace(tmp, ck_path)
+
     for rep in range(n_rep):
+      if rep in ck["reps_done"]:
+          continue
       folds_r = (folds if rep == 0
                  else kfold_indices(n, cfg.n_folds, cfg.seed + 7700 * rep))
-      oof_r = {m: np.zeros(n, np.float32) for m in rep_legs}
+      oof_r = ck["oof_r"].get(rep)
+      if oof_r is None:
+          oof_r = {m: np.zeros(n, np.float32) for m in rep_legs}
       for i, te in enumerate(folds_r):
+        if (rep, i) in ck["cells"]:
+            continue
         tr = np.concatenate([folds_r[j] for j in range(len(folds_r))
                              if j != i])
         xt = xt_folds[i] if strict else xt_global
@@ -706,6 +760,9 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             # this fold's train rows (gives the meta a dedicated column)
             oof_r["transfer"][te] = LinearRegression().fit(
                 transfer.features[tr], y[tr]).predict(transfer.features[te])
+        ck["cells"].add((rep, i))
+        ck["oof_r"][rep] = oof_r
+        _ck_save()
 
       if fine_kernels:
           # honest/compat only — strict keeps the kernel legs on the main
@@ -721,6 +778,11 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
                                            folds_k)
       for m in rep_legs:
           rep_acc[m] += oof_r[m] / n_rep
+      ck["reps_done"].add(rep)
+      ck["oof_r"].pop(rep, None)
+      _ck_save()
+    if ck_path is not None and _os.path.exists(ck_path):
+        _os.unlink(ck_path)           # stage complete; nothing to resume
     for m in rep_legs:
         oof[m] = rep_acc[m]
     if n_ts > 1:

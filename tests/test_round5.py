@@ -220,3 +220,79 @@ class TestQueueSupervisor:
         cmd = "python -c \"print('h'*300, flush=True); import time; time.sleep(40)\""
         ok = mod.run_stage("v", 600, cmd)
         assert ok
+
+
+class TestTreeStageCheckpoint:
+    def test_interrupted_tree_stage_resumes_bit_identical(self, tmp_path,
+                                                          monkeypatch):
+        """Kill the tree stage mid-fold (the round-5 wedge pattern), rerun,
+        and require bit-identical OOF columns vs an uninterrupted run."""
+        import numpy as np
+        from tests.test_round3 import _tiny_processed
+        from bbbp_tpu.train import regression as R
+
+        common = dict(
+            protocol="honest", n_folds=3, epochs=2, nn_seeds=1,
+            graph_leg=False, bert_leg=False, tree_seeds=1, snapshot_from=None,
+            rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8,
+            split_repeats=2)
+        d = _tiny_processed()
+        ref = R.run_regression(
+            R.RegressionTrainConfig(out_dir=str(tmp_path / "ref"), **common),
+            data=d, verbose=False)
+
+        # interrupted run: blow up on the 3rd tree fold cell
+        calls = {"n": 0}
+        orig = R.GBDTRegressor.fit
+
+        def dying_fit(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 4:
+                raise RuntimeError("injected worker wedge")
+            return orig(self, *a, **kw)
+
+        out = str(tmp_path / "resume")
+        monkeypatch.setattr(R.GBDTRegressor, "fit", dying_fit)
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="injected"):
+            R.run_regression(
+                R.RegressionTrainConfig(out_dir=out, **common),
+                data=d, verbose=False)
+        monkeypatch.setattr(R.GBDTRegressor, "fit", orig)
+        import os
+        assert os.path.exists(os.path.join(out, "tree_ckpt.pkl"))
+
+        res = R.run_regression(
+            R.RegressionTrainConfig(out_dir=out, **common),
+            data=d, verbose=True)
+        for m in ("rf", "gbdt", "cat", "knn", "ridge", "tknn"):
+            np.testing.assert_array_equal(res.oof[m], ref.oof[m], err_msg=m)
+        # ckpt removed after the stage completes
+        assert not os.path.exists(os.path.join(out, "tree_ckpt.pkl"))
+
+    def test_stale_checkpoint_key_ignored(self, tmp_path):
+        """A ckpt written by a DIFFERENT config must be ignored, not merged."""
+        import os
+        import pickle
+        import numpy as np
+        from tests.test_round3 import _tiny_processed
+        from bbbp_tpu.train import regression as R
+
+        common = dict(
+            protocol="honest", n_folds=3, epochs=2, nn_seeds=1,
+            graph_leg=False, bert_leg=False, tree_seeds=1, snapshot_from=None,
+            rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8)
+        d = _tiny_processed()
+        out = str(tmp_path / "run")
+        os.makedirs(out)
+        with open(os.path.join(out, "tree_ckpt.pkl"), "wb") as f:
+            pickle.dump({"key": "bogus", "state": {
+                "cells": {(0, 0)}, "oof_r": {}, "rep_acc": {},
+                "tree_seed_acc": {}, "reps_done": set()}}, f)
+        ref = R.run_regression(
+            R.RegressionTrainConfig(out_dir=str(tmp_path / "ref"), **common),
+            data=d, verbose=False)
+        res = R.run_regression(
+            R.RegressionTrainConfig(out_dir=out, **common),
+            data=d, verbose=False)
+        np.testing.assert_array_equal(res.oof["rf"], ref.oof["rf"])

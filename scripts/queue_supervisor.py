@@ -48,8 +48,10 @@ RECOVERY_WAIT_S = 240
 # the round-5 compat stage: log + CPU frozen 42 min while a fresh probe
 # process got served immediately). Legit silent gaps (server-side remote
 # compiles) run 10-40 min, so a stage whose log hasn't advanced in 50 min is
-# declared wedged, killed, and retried.
-STALL_KILL_S = 3000
+# declared wedged, killed, and retried. (Tightened 3000->1800 s: the
+# longest legit silent gap observed live is ~15 min; wedges cost 50 min at
+# the old threshold.)
+STALL_KILL_S = 1800
 # First-output killer: every stage script's first act is a 64x64 health op +
 # a "TPU healthy" print (seconds, normally). A stage that produced <200 bytes
 # of output in 15 min is wedged on its FIRST op (also observed live: a gate

@@ -509,8 +509,63 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             out[te] = K[np.ix_(te, tr)] @ a + ym
         return out
 
+    # --- resumable leg/tree checkpoint ----------------------------------
+    # The deep legs (smiles, graph) and the tree stage are the long tail of
+    # a run; an axon worker blip mid-stage orphans the client RPC forever
+    # (observed round 5), and the supervisor's kill+retry used to repay the
+    # deep legs on every attempt. Checkpoint each completed deep leg's OOF
+    # column (and seed columns) plus the tree accumulators after every
+    # (repeat, fold), keyed by a config+data fingerprint so a stale file
+    # from a different run can never leak in. The NN leg always reruns — it
+    # is ~2 min (all folds batched) and downstream needs its full CVResult
+    # (params/losses for artifact saving). Enabled whenever out_dir is set
+    # (disable with BBBP_TREE_CKPT=0); deleted on run completion.
+    import hashlib as _hl
+    import os as _os
+    import pickle as _pkl
+    from dataclasses import asdict as _asdict
+
+    ck_path = None
+    ck = {"cells": set(), "oof_r": {}, "legs": {}, "reps_done": set()}
+    ck_key = None
+    if cfg.out_dir and _os.environ.get("BBBP_TREE_CKPT", "1") == "1":
+        _os.makedirs(cfg.out_dir, exist_ok=True)
+        ck_path = _os.path.join(cfg.out_dir, "tree_ckpt.pkl")
+        ck_key = _hl.sha256(
+            (repr(sorted(_asdict(cfg).items())) + f"|n={n}").encode()
+        ).hexdigest()
+        if _os.path.exists(ck_path):
+            try:
+                with open(ck_path, "rb") as f:
+                    old = _pkl.load(f)
+                if old.get("key") == ck_key:
+                    ck = old["state"]
+                    ck.setdefault("legs", {})  # pre-round-5 ckpt files
+                    if verbose:
+                        print(f"[regression] ckpt RESUMED: "
+                              f"legs {sorted(ck['legs'])}, "
+                              f"{len(ck['cells'])} tree folds + "
+                              f"{len(ck['reps_done'])} repeats done")
+                elif verbose:
+                    print("[regression] stale tree_ckpt ignored (key "
+                          "mismatch)")
+            except Exception:  # noqa: BLE001 — a bad ckpt must never be fatal
+                pass
+
+    def _ck_save():
+        if ck_path is None:
+            return
+        tmp = ck_path + ".tmp"
+        with open(tmp, "wb") as f:
+            _pkl.dump({"key": ck_key, "state": ck}, f)
+        _os.replace(tmp, ck_path)
+
     # ---------------- SMILES-encoder leg (pretrained transformer) ----------
-    if cfg.bert_leg:
+    if cfg.bert_leg and "smiles" in ck["legs"]:
+        oof["smiles"], seed_cols["smiles"] = ck["legs"]["smiles"]
+        if verbose:
+            print("[regression] SMILES-encoder leg restored from ckpt")
+    elif cfg.bert_leg:
         import json as _json
         import pickle as _pickle
 
@@ -554,9 +609,16 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             b_acc = b_res.oof_pred if b_acc is None else b_acc + b_res.oof_pred
             seed_cols.setdefault("smiles", []).append(np.asarray(b_res.oof_pred))
         oof["smiles"] = b_acc / max(1, cfg.bert_seeds)
+        ck["legs"]["smiles"] = (np.asarray(oof["smiles"]),
+                                list(seed_cols["smiles"]))
+        _ck_save()
 
     # ---------------- graph leg (edge-featured MPNN) -----------------------
-    if cfg.graph_leg:
+    if cfg.graph_leg and "graph" in ck["legs"]:
+        oof["graph"], seed_cols["graph"] = ck["legs"]["graph"]
+        if verbose:
+            print("[regression] graph leg restored from ckpt")
+    elif cfg.graph_leg:
         from bbbp_tpu.chem.graph_features import graph_features
         from bbbp_tpu.models.gnn import MPNNRegressor
 
@@ -588,6 +650,9 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
             g_acc = g_res.oof_pred if g_acc is None else g_acc + g_res.oof_pred
             seed_cols.setdefault("graph", []).append(np.asarray(g_res.oof_pred))
         oof["graph"] = g_acc / max(1, cfg.graph_seeds)
+        ck["legs"]["graph"] = (np.asarray(oof["graph"]),
+                               list(seed_cols["graph"]))
+        _ck_save()
 
     # ---------------- tree + shallow legs (per fold) -----------------------
     if strict:
@@ -628,53 +693,18 @@ def run_regression(cfg: RegressionTrainConfig = RegressionTrainConfig(),
     # per-seed forest columns (averaged over repeats) for meta_perseed
     tree_seed_acc = {m: np.zeros((n_ts, n), np.float32)
                      for m in ("rf", "gbdt", "cat")}
-    # --- resumable tree stage -------------------------------------------
-    # The tree legs are the long tail of a run (hundreds of launched fits
-    # over the tunnel; an axon worker blip mid-stage orphans the client RPC
-    # forever — observed round 5). Checkpoint the accumulators after every
-    # (repeat, fold) so a supervisor kill+retry resumes instead of repaying
-    # the whole stage. Keyed by a config+data fingerprint so a stale file
-    # from a different run can never leak in. Enabled whenever out_dir is
-    # set (disable with BBBP_TREE_CKPT=0); deleted on stage completion.
-    import hashlib as _hl
-    import os as _os
-    import pickle as _pkl
-    from dataclasses import asdict as _asdict
-
-    ck_path = None
-    ck = {"cells": set(), "oof_r": {}, "rep_acc": rep_acc,
-          "tree_seed_acc": tree_seed_acc, "reps_done": set()}
-    if cfg.out_dir and _os.environ.get("BBBP_TREE_CKPT", "1") == "1":
-        _os.makedirs(cfg.out_dir, exist_ok=True)
-        ck_path = _os.path.join(cfg.out_dir, "tree_ckpt.pkl")
-        ck_key = _hl.sha256(
-            (repr(sorted(_asdict(cfg).items())) + f"|n={n}").encode()
-        ).hexdigest()
-        if _os.path.exists(ck_path):
-            try:
-                with open(ck_path, "rb") as f:
-                    old = _pkl.load(f)
-                if old.get("key") == ck_key:
-                    ck = old["state"]
-                    rep_acc = ck["rep_acc"]
-                    tree_seed_acc = ck["tree_seed_acc"]
-                    if verbose:
-                        print(f"[regression] tree stage RESUMED: "
-                              f"{len(ck['cells'])} folds + "
-                              f"{len(ck['reps_done'])} repeats done")
-                elif verbose:
-                    print("[regression] stale tree_ckpt ignored (key "
-                          "mismatch)")
-            except Exception:  # noqa: BLE001 — a bad ckpt must never be fatal
-                pass
-
-    def _ck_save():
-        if ck_path is None:
-            return
-        tmp = ck_path + ".tmp"
-        with open(tmp, "wb") as f:
-            _pkl.dump({"key": ck_key, "state": ck}, f)
-        _os.replace(tmp, ck_path)
+    # tree accumulators live in the run checkpoint (set up before the deep
+    # legs above): restore from a resumed ckpt, or register the fresh ones
+    if ck.get("rep_acc") is not None:
+        rep_acc = ck["rep_acc"]
+        tree_seed_acc = ck["tree_seed_acc"]
+        if verbose and ck["cells"]:
+            print(f"[regression] tree stage RESUMED: "
+                  f"{len(ck['cells'])} folds + "
+                  f"{len(ck['reps_done'])} repeats done")
+    else:
+        ck["rep_acc"] = rep_acc
+        ck["tree_seed_acc"] = tree_seed_acc
 
     for rep in range(n_rep):
       if rep in ck["reps_done"]:

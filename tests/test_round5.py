@@ -270,6 +270,56 @@ class TestTreeStageCheckpoint:
         # ckpt removed after the stage completes
         assert not os.path.exists(os.path.join(out, "tree_ckpt.pkl"))
 
+    def test_deep_leg_restored_from_checkpoint(self, tmp_path, monkeypatch):
+        """A retry after a tree-stage wedge must NOT retrain the deep legs:
+        the graph column is restored from the ckpt (poisoned MPNN proves the
+        training path is skipped) and matches the uninterrupted run."""
+        import os
+        import numpy as np
+        from tests.test_round3 import _tiny_processed
+        from bbbp_tpu.train import regression as R
+        import bbbp_tpu.models.gnn as gnn
+
+        common = dict(
+            protocol="honest", n_folds=3, epochs=2, nn_seeds=1,
+            graph_leg=True, graph_epochs=2, graph_hidden=8, graph_layers=1,
+            graph_seeds=1, max_atoms=16,
+            bert_leg=False, tree_seeds=1, snapshot_from=None,
+            rf_trees=8, gbdt_trees=8, cat_trees=8, image_size=8)
+        d = _tiny_processed()
+        ref = R.run_regression(
+            R.RegressionTrainConfig(out_dir=str(tmp_path / "ref"), **common),
+            data=d, verbose=False)
+
+        calls = {"n": 0}
+        orig = R.GBDTRegressor.fit
+
+        def dying_fit(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("injected worker wedge")
+            return orig(self, *a, **kw)
+
+        out = str(tmp_path / "resume")
+        monkeypatch.setattr(R.GBDTRegressor, "fit", dying_fit)
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="injected"):
+            R.run_regression(
+                R.RegressionTrainConfig(out_dir=out, **common),
+                data=d, verbose=False)
+        monkeypatch.setattr(R.GBDTRegressor, "fit", orig)
+        assert os.path.exists(os.path.join(out, "tree_ckpt.pkl"))
+
+        def poisoned_init(self, *a, **kw):  # noqa: ARG001
+            raise AssertionError("graph leg retrained despite ckpt")
+
+        monkeypatch.setattr(gnn.MPNNRegressor, "__init__", poisoned_init)
+        res = R.run_regression(
+            R.RegressionTrainConfig(out_dir=out, **common),
+            data=d, verbose=False)
+        np.testing.assert_array_equal(res.oof["graph"], ref.oof["graph"])
+        np.testing.assert_array_equal(res.oof["rf"], ref.oof["rf"])
+
     def test_stale_checkpoint_key_ignored(self, tmp_path):
         """A ckpt written by a DIFFERENT config must be ignored, not merged."""
         import os

@@ -19,6 +19,7 @@ default only on ok=true + speedup.
 Gate first: bash scripts/tpu_gate2.sh 7200 && python -u scripts/round4_forest_vmap_probe.py
 """
 import json
+import os
 import sys
 import time
 
@@ -31,6 +32,46 @@ T0 = time.time()
 
 def log(msg):
     print(f"[r4fv +{time.time()-T0:7.0f}s] {msg}", flush=True)
+
+
+# Crash-aware retry state: a vmapped-fit worker crash is itself the probe's
+# finding (worker health is risk #1 in the header). Attempt 1 runs the
+# default lane block; after a crash the next attempt (fresh process via the
+# queue supervisor) tries a small block; a second crash writes the final
+# negative artifact so the stage LANDS instead of failing rc=1 three times.
+STATE_PATH = "/root/repo/results/FVPROBE_STATE.json"
+RESULT_PATH = "/root/repo/results/FOREST_VMAP_PROBE.json"
+state = {"crashes": []}
+if os.path.exists(STATE_PATH):
+    with open(STATE_PATH) as f:
+        state = json.load(f)
+LANE_BLOCKS = [60, 12]
+lane_block = LANE_BLOCKS[min(len(state["crashes"]), len(LANE_BLOCKS) - 1)]
+
+
+def record_crash(err, out):
+    state["crashes"].append({"lane_block": lane_block, "error": str(err)[:500],
+                             "elapsed_s": time.time() - T0})
+    with open(STATE_PATH, "w") as f:
+        json.dump(state, f, indent=1)
+    if len(state["crashes"]) >= 2:
+        out.update({
+            "ok": False,
+            "reason": "TPU worker crashed during the vmapped fit at lane "
+                      f"blocks {[c['lane_block'] for c in state['crashes']]} "
+                      "— the vmapped (trial x fold) forest axis is not safe "
+                      "on this platform even with the scatter-free matmul "
+                      "engine; BBBP_FOREST_VMAP stays default-off",
+            "crashes": state["crashes"],
+        })
+        with open(RESULT_PATH, "w") as f:
+            json.dump(out, f, indent=1)
+        log(f"DONE ok=False (worker crashed {len(state['crashes'])}x; "
+            "negative artifact written)")
+        sys.exit(0)
+    log(f"worker crashed at lane_block={lane_block}; state recorded, "
+        "exiting 1 for a fresh-process retry at a smaller block")
+    sys.exit(1)
 
 
 import jax
@@ -78,11 +119,19 @@ for _ in range(9):
                    "reg_lambda": float(10 ** rng.uniform(-0.3, 1.0))})
 
 out = {"n": int(x_tr.shape[0]), "F": int(x_tr.shape[1]),
-       "trials": len(params), "folds": len(folds)}
+       "trials": len(params), "folds": len(folds),
+       "lane_block": lane_block, "prior_crashes": state["crashes"]}
+
+import bbbp_tpu.train.batched_search as _bs
+_bs.FOREST_VMAP_LANE_BLOCK = lane_block
 
 t0 = time.time()
-a_v, _, _ = _forest_cv_vmapped(x_tr, y_tr, folds, params, classify=True,
-                               verbose=True)
+try:
+    a_v, _, _ = _forest_cv_vmapped(x_tr, y_tr, folds, params, classify=True,
+                                   verbose=True)
+    jax.block_until_ready(jnp.zeros(()))
+except jax.errors.JaxRuntimeError as e:
+    record_crash(e, out)
 out["vmapped_s_cold"] = time.time() - t0
 log(f"vmapped cold: {out['vmapped_s_cold']:.1f}s best acc={a_v.max():.4f}")
 
@@ -90,7 +139,11 @@ log(f"vmapped cold: {out['vmapped_s_cold']:.1f}s best acc={a_v.max():.4f}")
 assert float(jnp.ones((256, 256)).sum()) == 65536.0
 assert float(jnp.linalg.norm(jnp.eye(128))) > 0
 t0 = time.time()
-a_v2, _, _ = _forest_cv_vmapped(x_tr, y_tr, folds, params, classify=True)
+try:
+    a_v2, _, _ = _forest_cv_vmapped(x_tr, y_tr, folds, params, classify=True)
+    jax.block_until_ready(jnp.zeros(()))
+except jax.errors.JaxRuntimeError as e:
+    record_crash(e, out)
 out["vmapped_s_warm"] = time.time() - t0
 log(f"vmapped warm: {out['vmapped_s_warm']:.1f}s (worker survived)")
 

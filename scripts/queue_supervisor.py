@@ -78,6 +78,24 @@ def ledger_append(rec: dict) -> None:
         os.fsync(f.fileno())
 
 
+def ledger_terminal_stages() -> set:
+    """Stages that must not be picked again: done, or terminally failed
+    ('failed' is only written when retries are exhausted or the TPU gate
+    gave up — without this the main loop would re-pick a deterministically
+    failing stage forever and starve the queue tail)."""
+    terminal = set()
+    if os.path.exists(LEDGER):
+        with open(LEDGER) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("event") in ("done", "failed"):
+                    terminal.add(rec["stage"])
+    return terminal
+
+
 def ledger_done_stages() -> set:
     done = set()
     if os.path.exists(LEDGER):
@@ -229,8 +247,8 @@ def main() -> None:
     ledger_append({"stage": "__supervisor__", "event": "boot",
                    "pid": os.getpid()})
     while True:
-        done = ledger_done_stages()
-        pending = [(n, t, c) for n, t, c in read_stages() if n not in done]
+        skip = ledger_terminal_stages()
+        pending = [(n, t, c) for n, t, c in read_stages() if n not in skip]
         if not pending:
             break
         name, timeout_s, cmd = pending[0]

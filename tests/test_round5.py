@@ -221,6 +221,28 @@ class TestQueueSupervisor:
         ok = mod.run_stage("v", 600, cmd)
         assert ok
 
+    def test_main_loop_moves_past_a_terminally_failed_stage(self, tmp_path,
+                                                            monkeypatch):
+        """A stage that exhausts retries must not be re-picked by main() —
+        otherwise a deterministic failure starves the queue tail forever
+        (bug found live in round 5: fvprobe crashing the worker would have
+        blocked retune/seed44/strict5/mlm)."""
+        import threading
+        mod = self._mk(tmp_path, monkeypatch,
+                       "bad\t60\texit 7\nok\t60\techo hi\n")
+        monkeypatch.setattr(mod, "MAX_ATTEMPTS", 1)
+        t = threading.Thread(target=mod.main, daemon=True)
+        t.start()
+        t.join(timeout=60)
+        assert not t.is_alive(), "main() re-picked the failed stage forever"
+        ev = self._events(mod)
+        assert any(e["stage"] == "bad" and e["event"] == "failed" for e in ev)
+        assert any(e["stage"] == "ok" and e["event"] == "done" for e in ev)
+        assert ev[-1]["event"] == "all_done"
+        # exactly one attempt at the failed stage: no starvation loop
+        assert sum(1 for e in ev
+                   if e["stage"] == "bad" and e["event"] == "started") == 1
+
 
 class TestTreeStageCheckpoint:
     def test_interrupted_tree_stage_resumes_bit_identical(self, tmp_path,

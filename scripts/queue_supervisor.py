@@ -195,6 +195,25 @@ def run_stage(name: str, timeout_s: int, cmd: str) -> bool:
             proc = subprocess.Popen(
                 ["bash", "-c", cmd], stdout=lf, stderr=subprocess.STDOUT,
                 cwd=REPO, start_new_session=True)
+            # Compile guard: a first-shape forest compile runs server-side
+            # and is legitimately silent 10-40 min — indistinguishable from
+            # a wedged RPC by log age alone. The guard touches the stage log
+            # every 5 min ONLY while the stage's axon-conn-read thread is
+            # genuinely blocked in tcp_recvmsg, and gives up after 90 min,
+            # restoring the stall-killer's authority over true wedges.
+            guard = None
+            try:
+                with open(os.path.join(LOG_DIR, f"guard_{name}.log"),
+                          "a") as gf:
+                    guard = subprocess.Popen(
+                        [sys.executable, "-u",
+                         os.path.join(REPO, "scripts",
+                                      "round5_compile_guard.py"),
+                         str(proc.pid), logf, "5400"],
+                        stdout=gf, stderr=subprocess.STDOUT, cwd=REPO,
+                        start_new_session=True)
+            except OSError:
+                guard = None
             deadline = t0 + timeout_s
             while True:
                 poll = max(0.5, min(30.0, deadline - time.time()))
@@ -225,6 +244,13 @@ def run_stage(name: str, timeout_s: int, cmd: str) -> bool:
                         pass
                     proc.wait(timeout=60)
                     break
+            if guard is not None:
+                try:
+                    guard.kill()
+                    guard.wait(timeout=10)
+                except (ProcessLookupError, OSError,
+                        subprocess.TimeoutExpired):
+                    pass
         elapsed = round(time.time() - t0, 1)
         if rc == 0:
             ledger_append({"stage": name, "event": "done", "attempt": attempt,

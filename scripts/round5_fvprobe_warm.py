@@ -1,0 +1,85 @@
+"""Fair steady-state timing for the forest-vmap default flip.
+
+FOREST_VMAP_PROBE.json's sequential_s (3295.7s) is dominated by the
+sequential engine's first-shape remote compile (~50 min observed live),
+while vmapped_s_warm excludes compiles — the 19.9x headline conflates
+compile cost with engine speed. The compile is now in .jax_cache, so this
+stage re-times the sequential path warm and patches the artifact with
+``sequential_s_warm`` and ``speedup_steady_state`` — the number the
+BBBP_FOREST_VMAP default decision actually needs.
+
+Gate first (queue supervisor does): python -u scripts/round5_fvprobe_warm.py
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[r5fw +{time.time()-T0:6.0f}s] {msg}", flush=True)
+
+
+import jax
+import jax.numpy as jnp
+
+assert float(jnp.ones((64, 64)).sum()) == 4096.0
+log(f"TPU healthy: {jax.devices()}")
+
+from bbbp_tpu.chem.featurize import fingerprints
+from bbbp_tpu.data import load_b3db_classification
+from bbbp_tpu.ops import PCA, StandardScaler
+from bbbp_tpu.ops.resample import smote_tomek
+from bbbp_tpu.train.batched_search import _forest_cv
+from bbbp_tpu.train.search import stratified_kfold_indices
+
+# identical matrix + trial set to round4_forest_vmap_probe.py
+data = load_b3db_classification()
+fp = fingerprints(data.smiles, kind="maccs", workers=1)
+x = fp.features[fp.ok_mask]
+y = data.labels[fp.ok_mask]
+x = np.asarray(StandardScaler().fit_transform(x))
+x = np.asarray(PCA(30).fit_transform(x))
+xr, yr = smote_tomek(x, y, seed=42)
+rng = np.random.default_rng(42)
+perm = rng.permutation(len(yr))
+tr = perm[int(len(yr) * 0.2):]
+x_tr, y_tr = xr[tr], yr[tr]
+folds = stratified_kfold_indices(y_tr, 3, 42)
+rng = np.random.default_rng(0)
+params = []
+for _ in range(9):
+    params.append({"n_estimators": 300, "max_depth": 6,
+                   "learning_rate": float(10 ** rng.uniform(-1.7, -0.5)),
+                   "subsample": float(rng.uniform(0.6, 1.0))})
+for _ in range(9):
+    params.append({"rf": True, "n_estimators": 300, "max_depth": 10,
+                   "colsample": float(rng.uniform(0.3, 1.0)),
+                   "reg_lambda": 1e-6})
+for _ in range(9):
+    params.append({"oblivious": True, "n_estimators": 300, "max_depth": 6,
+                   "learning_rate": float(10 ** rng.uniform(-1.7, -0.5)),
+                   "reg_lambda": float(10 ** rng.uniform(-0.3, 1.0))})
+log(f"search matrix {x_tr.shape}; sequential warm run (compile cached)")
+
+t0 = time.time()
+a_s, _, _ = _forest_cv(x_tr, y_tr, folds, params, classify=True,
+                       verbose=False)
+seq_warm = time.time() - t0
+log(f"sequential warm: {seq_warm:.1f}s best acc={a_s.max():.4f}")
+
+with open("/root/repo/results/FOREST_VMAP_PROBE.json") as f:
+    out = json.load(f)
+out["sequential_s_warm"] = seq_warm
+out["speedup_steady_state"] = seq_warm / max(out["vmapped_s_warm"], 1e-9)
+out["note"] = ("sequential_s includes the engine's ~50-min first-shape "
+               "remote compile; speedup_steady_state (sequential warm / "
+               "vmapped warm, both compile-free) is the default-flip number")
+with open("/root/repo/results/FOREST_VMAP_PROBE.json", "w") as f:
+    json.dump(out, f, indent=1)
+log(f"DONE steady-state speedup={out['speedup_steady_state']:.2f}x")

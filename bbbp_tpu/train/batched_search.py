@@ -289,8 +289,11 @@ def _forest_prep(x, y, folds):
 # (scripts/round4_forest_vmap_probe.py) validates worker health + wall-clock.
 FOREST_VMAP = os.environ.get("BBBP_FOREST_VMAP", "0") == "1"
 FOREST_VMAP_MAX_F = 512       # matmul histograms pay only for narrow F
-FOREST_VMAP_LANE_BLOCK = 60   # lanes per launch (bounds the [L, nodes, F·B]
-                              # histogram + [L, n, leaves] one-hot temporaries)
+FOREST_VMAP_LANE_BLOCK = 12   # lanes per launch (bounds the [L, nodes, F·B]
+                              # histogram + [L, n, leaves] one-hot temporaries).
+                              # 60 lanes crashed the v5e worker on the real
+                              # retune shapes (results/FOREST_VMAP_PROBE.json
+                              # prior_crashes); 12 ran the full probe clean.
 
 
 def _forest_cv_vmapped(x, y, folds, param_sets: List[Dict],

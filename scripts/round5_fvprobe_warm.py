@@ -67,9 +67,25 @@ for _ in range(9):
                    "reg_lambda": float(10 ** rng.uniform(-0.3, 1.0))})
 log(f"search matrix {x_tr.shape}; sequential warm run (compile cached)")
 
+# The sequential engine is silent for its whole run (observed ~40+ min warm);
+# the queue supervisor kills any stage whose log is quiet 30 min. Tick so a
+# healthy long run is distinguishable from a wedged RPC.
+import threading
+
+_tick_stop = threading.Event()
+
+
+def _ticker():
+    while not _tick_stop.wait(120):
+        log("sequential warm run still executing...")
+
+
+threading.Thread(target=_ticker, daemon=True).start()
+
 t0 = time.time()
 a_s, _, _ = _forest_cv(x_tr, y_tr, folds, params, classify=True,
                        verbose=False)
+_tick_stop.set()
 seq_warm = time.time() - t0
 log(f"sequential warm: {seq_warm:.1f}s best acc={a_s.max():.4f}")
 

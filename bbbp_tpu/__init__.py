@@ -49,7 +49,7 @@ def _prune_foreign_cache_entries(root: str, keep_tag: str) -> None:
             p = os.path.join(root, name)
             if os.path.isfile(p) and name.startswith("jit_"):
                 os.unlink(p)
-            elif os.path.isdir(p) and name != keep_tag:
+            elif os.path.isdir(p) and name not in (keep_tag, "device"):
                 shutil.rmtree(p, ignore_errors=True)
         with open(marker, "w") as f:
             f.write("pruned\n")
@@ -103,8 +103,23 @@ def _enable_persistent_compile_cache() -> None:
             tag = hashlib.sha256(feat.encode()).hexdigest()[:12]
             root = os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), ".jax_cache")
-            cache_dir = os.path.join(root, tag)
-            _prune_foreign_cache_entries(root, tag)
+            # The SIGILL concern above is specific to XLA:CPU AOT entries;
+            # TPU executables are serialized device programs whose validity
+            # does not depend on the HOST CPU generation. Namespacing them
+            # by host fingerprint made every container migration discard
+            # 10-40 min of remote forest compiles (observed live round 5:
+            # a reboot onto a new host gen re-paid ~45 min). So: processes
+            # pinned to the CPU backend (tests, virtual-mesh dryruns) use
+            # the per-host-generation dir; everything else (axon/TPU, the
+            # only processes that pay remote compiles) shares ".jax_cache/
+            # device", which survives migrations and is never pruned.
+            plat = os.environ.get(
+                "JAX_PLATFORMS", "").split(",")[0].strip().lower()
+            if plat == "cpu":
+                cache_dir = os.path.join(root, tag)
+                _prune_foreign_cache_entries(root, tag)
+            else:
+                cache_dir = os.path.join(root, "device")
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             # remote compiles are the pain point; cache anything nontrivial
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)

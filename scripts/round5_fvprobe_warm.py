@@ -82,6 +82,17 @@ def _ticker():
 
 threading.Thread(target=_ticker, daemon=True).start()
 
+# Force every forest program compile OUTSIDE the timed region: one param per
+# family over every fold shape. A container migration can empty the compile
+# cache (observed live 2026-08-20: host-CPU fingerprint changed, prune wiped
+# the TPU entries), in which case the "warm" timing would silently re-include
+# 10-50 min of remote compiles and overstate the sequential engine.
+log("warmup: compiling/touching each (family, fold-shape) program...")
+for fam0 in (0, 9, 18):
+    _forest_cv(x_tr, y_tr, folds, params[fam0:fam0 + 1], classify=True,
+               verbose=False)
+    log(f"warmup family at params[{fam0}] done")
+
 t0 = time.time()
 a_s, _, _ = _forest_cv(x_tr, y_tr, folds, params, classify=True,
                        verbose=False)
